@@ -1,0 +1,245 @@
+"""GridMap: the core multi-layer grid data model as a JAX pytree.
+
+Capability-parity rebuild of ``grid_map::GridMap`` (external dependency of the
+reference, used everywhere in
+/root/reference/traversability_estimation/src/TraversabilityMap.cpp). Instead
+of an Eigen circular-buffer grid with per-cell iterators, layers are dense
+``(rows, cols)`` float32 device arrays and the map is an immutable pytree, so
+it jits, vmaps, shards, and snapshots for free.
+
+Geometry conventions follow grid_map exactly (required for golden parity):
+
+- ``size = (rows, cols)``; row index runs along the map-frame x axis, column
+  index along y. Index (0, 0) is the corner with the LARGEST x and y.
+- cell center: ``pos(i) = position + 0.5*length - 0.5*res - i*res`` per axis.
+- position -> index: ``i = floor((position + 0.5*length - pos) / res)``.
+- a position is inside the map iff ``pos in (position - L/2, position + L/2]``
+  per axis (upper edge inclusive, lower exclusive).
+
+The reference's circular-buffer ``startIndex`` optimization for moving maps is
+deliberately not carried over: recentring is a cheap roll/pad on device and a
+zero start index keeps every kernel's indexing static. Layers absent from a
+cell are NaN ("unknown"), same as grid_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class GridMap:
+    """Immutable multi-layer grid map.
+
+    Attributes:
+      layers: dict of layer name -> (rows, cols) float32 array. NaN = no data.
+      resolution: cell edge length [m] (static).
+      position: (2,) array — map-frame position of the grid center (dynamic).
+      frame_id: coordinate frame name (static metadata).
+      basic_layers: layers that define cell validity (static metadata);
+        mirrors grid_map's basic-layers concept used by ``isValid``.
+    """
+
+    layers: Dict[str, jnp.ndarray]
+    resolution: float
+    position: jnp.ndarray
+    frame_id: str = "map"
+    basic_layers: Tuple[str, ...] = ()
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        names = tuple(sorted(self.layers.keys()))
+        children = tuple(self.layers[n] for n in names) + (self.position,)
+        aux = (names, self.resolution, self.frame_id, self.basic_layers)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        names, resolution, frame_id, basic_layers = aux
+        layers = dict(zip(names, children[: len(names)]))
+        position = children[len(names)]
+        return cls(
+            layers=layers,
+            resolution=resolution,
+            position=position,
+            frame_id=frame_id,
+            basic_layers=basic_layers,
+        )
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        size: Tuple[int, int],
+        resolution: float,
+        position=(0.0, 0.0),
+        layers: Iterable[str] = (),
+        frame_id: str = "map",
+        data: Optional[Mapping[str, np.ndarray]] = None,
+    ) -> "GridMap":
+        rows, cols = int(size[0]), int(size[1])
+        layer_dict: Dict[str, jnp.ndarray] = {}
+        for name in layers:
+            layer_dict[name] = jnp.full((rows, cols), jnp.nan, dtype=jnp.float32)
+        if data:
+            for name, arr in data.items():
+                arr = jnp.asarray(arr, dtype=jnp.float32)
+                if arr.shape != (rows, cols):
+                    raise ValueError(
+                        f"layer {name!r} has shape {arr.shape}, expected {(rows, cols)}"
+                    )
+                layer_dict[name] = arr
+        return cls(
+            layers=layer_dict,
+            resolution=float(resolution),
+            position=jnp.asarray(position, dtype=jnp.float32),
+            frame_id=frame_id,
+        )
+
+    @classmethod
+    def from_length(
+        cls,
+        length: Tuple[float, float],
+        resolution: float,
+        position=(0.0, 0.0),
+        layers: Iterable[str] = (),
+        frame_id: str = "map",
+    ) -> "GridMap":
+        """Mirror grid_map's setGeometry: size = ceil(length/res - small eps)."""
+        rows = int(round(length[0] / resolution))
+        cols = int(round(length[1] / resolution))
+        return cls.create((rows, cols), resolution, position, layers, frame_id)
+
+    # -- basic properties --------------------------------------------------
+    @property
+    def size(self) -> Tuple[int, int]:
+        for arr in self.layers.values():
+            return tuple(arr.shape)
+        raise ValueError("GridMap has no layers")
+
+    @property
+    def rows(self) -> int:
+        return self.size[0]
+
+    @property
+    def cols(self) -> int:
+        return self.size[1]
+
+    @property
+    def length(self) -> Tuple[float, float]:
+        r, c = self.size
+        return (r * self.resolution, c * self.resolution)
+
+    def exists(self, layer: str) -> bool:
+        return layer in self.layers
+
+    def get(self, layer: str) -> jnp.ndarray:
+        return self.layers[layer]
+
+    def __getitem__(self, layer: str) -> jnp.ndarray:
+        return self.layers[layer]
+
+    # -- functional updates ------------------------------------------------
+    def add(self, layer: str, data=None) -> "GridMap":
+        """Return a new map with `layer` set (NaN-filled if data is None).
+
+        Parity: grid_map's ``add`` overwrites an existing layer
+        (reference filters call ``mapOut.add(type_)`` unconditionally).
+        """
+        rows, cols = self.size
+        if data is None:
+            arr = jnp.full((rows, cols), jnp.nan, dtype=jnp.float32)
+        else:
+            arr = jnp.asarray(data, dtype=jnp.float32).reshape(rows, cols)
+        new_layers = dict(self.layers)
+        new_layers[layer] = arr
+        return dataclasses.replace(self, layers=new_layers)
+
+    def add_all(self, updates: Mapping[str, jnp.ndarray]) -> "GridMap":
+        new_layers = dict(self.layers)
+        rows, cols = self.size
+        for name, arr in updates.items():
+            new_layers[name] = jnp.asarray(arr, dtype=jnp.float32).reshape(rows, cols)
+        return dataclasses.replace(self, layers=new_layers)
+
+    def erase(self, layer: str) -> "GridMap":
+        new_layers = {k: v for k, v in self.layers.items() if k != layer}
+        return dataclasses.replace(self, layers=new_layers)
+
+    def keep_only(self, names: Iterable[str]) -> "GridMap":
+        keep = set(names)
+        new_layers = {k: v for k, v in self.layers.items() if k in keep}
+        return dataclasses.replace(self, layers=new_layers)
+
+    def clear(self, layer: str) -> "GridMap":
+        """NaN-fill one layer (grid_map ``clear``)."""
+        rows, cols = self.size
+        return self.add(layer, jnp.full((rows, cols), jnp.nan, jnp.float32))
+
+    def with_position(self, position) -> "GridMap":
+        return dataclasses.replace(
+            self, position=jnp.asarray(position, dtype=jnp.float32)
+        )
+
+    # -- geometry ----------------------------------------------------------
+    def cell_positions(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(rows, cols) arrays of cell-center x and y map-frame coordinates."""
+        rows, cols = self.size
+        res = self.resolution
+        half = (jnp.asarray([rows, cols], jnp.float32) * res) * 0.5
+        i = jnp.arange(rows, dtype=jnp.float32)[:, None]
+        j = jnp.arange(cols, dtype=jnp.float32)[None, :]
+        x = self.position[0] + half[0] - 0.5 * res - i * res
+        y = self.position[1] + half[1] - 0.5 * res - j * res
+        return jnp.broadcast_to(x, (rows, cols)), jnp.broadcast_to(y, (rows, cols))
+
+    def index_of(self, xy: jnp.ndarray) -> jnp.ndarray:
+        """Map-frame position(s) (..., 2) -> integer index(es) (..., 2).
+
+        Truncation semantics match grid_map (valid only for in-map positions).
+        """
+        rows, cols = self.size
+        res = self.resolution
+        half = jnp.asarray([rows * res, cols * res], jnp.float32) * 0.5
+        v = (self.position + half - jnp.asarray(xy, jnp.float32)) / res
+        return jnp.floor(v).astype(jnp.int32)
+
+    def position_of(self, index: jnp.ndarray) -> jnp.ndarray:
+        """Integer index(es) (..., 2) -> cell-center position(s) (..., 2)."""
+        rows, cols = self.size
+        res = self.resolution
+        half = jnp.asarray([rows * res, cols * res], jnp.float32) * 0.5
+        return self.position + half - 0.5 * res - jnp.asarray(index, jnp.float32) * res
+
+    def is_inside(self, xy: jnp.ndarray) -> jnp.ndarray:
+        """grid_map checkIfPositionWithinMap: pos in (center-L/2, center+L/2]."""
+        rows, cols = self.size
+        res = self.resolution
+        half = jnp.asarray([rows * res, cols * res], jnp.float32) * 0.5
+        t = self.position + half - jnp.asarray(xy, jnp.float32)
+        ok = (t >= 0.0) & (t < 2.0 * half)
+        return jnp.all(ok, axis=-1)
+
+    def valid_mask(self, layer: str = "elevation") -> jnp.ndarray:
+        """True where `layer` holds finite data (grid_map ``isValid``)."""
+        return jnp.isfinite(self.layers[layer])
+
+    # -- host conversion ---------------------------------------------------
+    def to_numpy(self) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.layers.items()}
+
+    def __repr__(self) -> str:  # keep short: layers can be many
+        try:
+            rows, cols = self.size
+        except ValueError:
+            rows = cols = 0
+        return (
+            f"GridMap({rows}x{cols} @ {self.resolution} m, "
+            f"layers={sorted(self.layers.keys())}, frame={self.frame_id!r})"
+        )
