@@ -1,0 +1,96 @@
+"""Dense veto fields vs the oracle's faithful lazy implementation.
+
+Verdict equivalence is exact (boolean), checked cell-by-cell: the oracle
+implements the reference's checkForSlope/Step/Roughness verbatim (lazy, with
+memo caches); the dense TPU fields must agree on every cell.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from traversability_estimation_tpu.oracle import filters as OF
+from traversability_estimation_tpu.oracle.footprint import OracleMap
+from traversability_estimation_tpu.ops.veto import VetoConfig, compute_veto_fields_jit
+
+
+def _oracle_fields(layers, resolution, cfg: VetoConfig):
+    om = OracleMap(
+        layers,
+        resolution,
+        (0.0, 0.0),
+        critical_step_height=cfg.critical_step_height,
+        max_gap_width=cfg.max_gap_width,
+        check_roughness=cfg.check_roughness,
+    )
+    H, W = layers["elevation"].shape
+    slope = np.zeros((H, W), bool)
+    step = np.zeros((H, W), bool)
+    rough = np.zeros((H, W), bool)
+    for i in range(H):
+        for j in range(W):
+            slope[i, j] = om.check_for_slope((i, j))
+            step[i, j] = om.check_for_step((i, j))
+            if cfg.check_roughness:
+                rough[i, j] = om.check_for_roughness((i, j))
+    return slope, step, rough
+
+
+def _assert_match(layers, resolution, cfg):
+    dense = compute_veto_fields_jit({k: jnp.asarray(v) for k, v in layers.items()}, cfg)
+    slope_o, step_o, rough_o = _oracle_fields(layers, resolution, cfg)
+    np.testing.assert_array_equal(np.asarray(dense["slope_ok"]), slope_o)
+    np.testing.assert_array_equal(np.asarray(dense["step_ok"]), step_o)
+    if cfg.check_roughness:
+        np.testing.assert_array_equal(np.asarray(dense["roughness_ok"]), rough_o)
+
+
+def test_veto_matches_oracle_on_golden_crop(golden_map):
+    sl = np.s_[30:80, 40:106]
+    layers = {
+        k: golden_map.data[k][sl]
+        for k in (
+            "elevation",
+            "traversability",
+            "traversability_slope",
+            "traversability_step",
+            "traversability_roughness",
+        )
+    }
+    cfg = VetoConfig(resolution=golden_map.resolution, check_roughness=True)
+    # the crop must actually exercise failures
+    assert (layers["traversability_step"] == 0).sum() > 0
+    _assert_match(layers, golden_map.resolution, cfg)
+
+
+def test_veto_matches_oracle_synthetic(terrain):
+    res = 0.03
+    elev = terrain(40, 48, res, seed=11, nan_frac=0.1)
+    chain = OF.run_chain(elev, res, OF.DEFAULT_CHAIN_CONFIG, (0.0, 0.0))
+    layers = {"elevation": elev, **{k: chain[k] for k in chain}}
+    cfg = VetoConfig(resolution=res, check_roughness=True)
+    _assert_match(layers, res, cfg)
+
+
+def test_veto_matches_oracle_coarse(terrain):
+    res = 0.06
+    elev = terrain(32, 32, res, seed=13, nan_frac=0.05)
+    chain = OF.run_chain(elev, res, OF.DEFAULT_CHAIN_CONFIG, (0.0, 0.0))
+    layers = {"elevation": elev, **{k: chain[k] for k in chain}}
+    cfg = VetoConfig(resolution=res, check_roughness=False)
+    _assert_match(layers, res, cfg)
+
+
+def test_footprint_parity_layers(golden_map):
+    sl = np.s_[30:60, 40:80]
+    layers = {
+        k: golden_map.data[k][sl]
+        for k in ("elevation", "traversability_slope", "traversability_step")
+    }
+    cfg = VetoConfig(resolution=golden_map.resolution)
+    dense = compute_veto_fields_jit({k: jnp.asarray(v) for k, v in layers.items()}, cfg)
+    sf = np.asarray(dense["step_footprint"])
+    # NaN exactly where the reference never computes (step != 0)
+    nonzero = ~(layers["traversability_step"] == 0.0)
+    assert not np.isfinite(sf[nonzero]).any()
+    assert np.isfinite(sf[~nonzero]).all()

@@ -1,0 +1,509 @@
+"""TraversabilityEstimator — the engine's API surface.
+
+Single-controller replacement for the reference's ROS node pair
+(TraversabilityEstimation orchestrator + TraversabilityMap core,
+/root/reference/traversability_estimation/src/TraversabilityEstimation.cpp and
+TraversabilityMap.cpp). Each of the node's 7 services and its timer loop maps
+to a method here; threads + recursive mutexes are designed out — map state is
+an immutable pytree swapped atomically on update:
+
+| reference service/topic (TraversabilityEstimation.cpp:44-58) | here |
+|---|---|
+| periodic timer -> updateTraversability        | ``update(elevation, ...)`` |
+| ``update_traversability`` srv                 | ``update(...)`` (same path) |
+| ``get_traversability`` / map topic            | ``traversability_map`` property |
+| ``check_footprint_path`` srv                  | ``check_footprint_path(paths)`` |
+| ``traversability_footprint`` srv              | ``traversability_footprint()`` |
+| ``update_parameters`` srv                     | ``update_parameters(config)`` |
+| ``save_traversability_map_to_bag`` srv        | ``save(path)`` (NPZ snapshot) |
+| ``load_elevation_map`` srv                    | ``load_elevation_map(path)`` (bag or NPZ) |
+| image topic -> imageCallback                  | ``set_elevation_from_image(...)`` |
+
+All compute (chain, veto fields, batched footprint checks) is jitted device
+code from ``traversability_estimation_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from traversability_estimation_tpu.grid.geometry import convex_hull_np
+from traversability_estimation_tpu.grid.gridmap import GridMap
+from traversability_estimation_tpu.ops import filters as chain_ops
+from traversability_estimation_tpu.ops import footprint as fp_ops
+from traversability_estimation_tpu.ops import veto as veto_ops
+from traversability_estimation_tpu.utils.config import EstimatorConfig
+
+
+@dataclasses.dataclass
+class FootprintPath:
+    """traversability_msgs/FootprintPath parity
+    (/root/reference/traversability_msgs/msg/FootprintPath.msg)."""
+
+    poses: np.ndarray  # (N, 2) or (N, 3) positions
+    orientations: Optional[np.ndarray] = None  # (N, 4) xyzw quaternions
+    radius: float = 0.0
+    footprint: Optional[np.ndarray] = None  # (V, 2) polygon in base frame
+    conservative: bool = False
+    compute_untraversable_polygon: bool = False
+
+
+@dataclasses.dataclass
+class TraversabilityResult:
+    """traversability_msgs/TraversabilityResult parity."""
+
+    is_safe: bool = False
+    traversability: float = 0.0
+    area: float = 0.0
+    untraversable_polygon: Optional[np.ndarray] = None
+
+
+class TraversabilityEstimator:
+    def __init__(self, config: Optional[EstimatorConfig] = None):
+        self.config = config or EstimatorConfig()
+        self._map: Optional[GridMap] = None
+        self._query_state: Optional[fp_ops.QueryState] = None
+        self._elevation: Optional[jnp.ndarray] = None
+        self._position = np.zeros(2, dtype=np.float32)
+        self._traversability_default = self.config.footprint.traversability_default
+        self.initialized = False
+        self.last_update_seconds: float = float("nan")
+
+    # ------------------------------------------------------------------
+    # ingestion (setElevationMap / imageCallback / initial map analogs)
+    # ------------------------------------------------------------------
+    def set_elevation_map(
+        self,
+        elevation: np.ndarray,
+        position=(0.0, 0.0),
+        extra_layers: Optional[Dict[str, np.ndarray]] = None,
+    ) -> bool:
+        """Analog of TraversabilityMap::setElevationMap
+        (TraversabilityMap.cpp:135-154)."""
+        elev = jnp.asarray(elevation, jnp.float32)
+        self._elevation = elev
+        self._position = np.asarray(position, dtype=np.float32)
+        self._extra_layers = {
+            k: jnp.asarray(v, jnp.float32) for k, v in (extra_layers or {}).items()
+        }
+        return True
+
+    def set_elevation_from_image(
+        self,
+        image: np.ndarray,
+        min_height: float = 0.0,
+        max_height: float = 1.0,
+        position=(0.0, 0.0),
+    ) -> bool:
+        """Grayscale image -> elevation (imageCallback,
+        TraversabilityEstimation.cpp:154-168): values scaled to
+        [min_height, max_height]; NaN where the image is NaN."""
+        img = np.asarray(image, dtype=np.float32)
+        if img.max() > 1.0:
+            img = img / 255.0
+        elev = min_height + img * (max_height - min_height)
+        return self.set_elevation_map(elev, position)
+
+    # ------------------------------------------------------------------
+    # update (computeTraversability)
+    # ------------------------------------------------------------------
+    def update(
+        self,
+        elevation: Optional[np.ndarray] = None,
+        position=None,
+    ) -> bool:
+        """Run the filter chain + dense veto fields; swap in the new map.
+
+        Analog of updateTraversability -> computeTraversability
+        (TraversabilityEstimation.cpp:202-222, TraversabilityMap.cpp:202-237).
+        """
+        if elevation is not None:
+            self.set_elevation_map(
+                elevation, position if position is not None else self._position
+            )
+        if self._elevation is None:
+            return False
+        t0 = time.perf_counter()
+        layers = _update_step(
+            self._elevation, self.config.chain, self.config.veto
+        )
+        jax.block_until_ready(layers)
+        self.last_update_seconds = time.perf_counter() - t0
+
+        all_layers = {"elevation": self._elevation, **layers}
+        for k, v in getattr(self, "_extra_layers", {}).items():
+            all_layers.setdefault(k, v)
+        if "upper_bound" in all_layers and "lower_bound" in all_layers:
+            # publishTraversabilityMap parity (TraversabilityMap.cpp:178-180)
+            all_layers["uncertainty_range"] = (
+                all_layers["upper_bound"] - all_layers["lower_bound"]
+            )
+        self._map = GridMap(
+            layers=all_layers,
+            resolution=self.config.chain.resolution,
+            position=jnp.asarray(self._position),
+            frame_id=self.config.map_frame_id,
+        )
+        self._query_state = fp_ops.QueryState(
+            traversability=all_layers["traversability"],
+            traversable_mask=layers["traversable_mask"],
+            position=jnp.asarray(self._position),
+            resolution=self.config.chain.resolution,
+            default_traversability=self._traversability_default,
+        )
+        self.initialized = True
+        return True
+
+    @property
+    def traversability_map(self) -> GridMap:
+        if self._map is None:
+            raise RuntimeError("traversability map not initialized; call update()")
+        return self._map
+
+    @property
+    def query_state(self) -> fp_ops.QueryState:
+        if self._query_state is None:
+            raise RuntimeError("traversability map not initialized; call update()")
+        return self._query_state
+
+    # ------------------------------------------------------------------
+    # queries (check_footprint_path service)
+    # ------------------------------------------------------------------
+    def check_footprint_path(
+        self, paths: Sequence[FootprintPath] | FootprintPath
+    ) -> List[TraversabilityResult]:
+        """Service parity: each path checked independently; circular when no
+        polygon is given (TraversabilityMap.cpp:320-343). Paths are batched
+        per (kind, radius/footprint) group and dispatched to the vectorized
+        device evaluators."""
+        if isinstance(paths, FootprintPath):
+            paths = [paths]
+        results: List[TraversabilityResult] = [TraversabilityResult() for _ in paths]
+        if not self.initialized:
+            return results
+
+        circular: Dict[float, List[int]] = {}
+        polygonal: List[int] = []
+        for i, p in enumerate(paths):
+            poses = np.atleast_2d(np.asarray(p.poses, dtype=np.float32))
+            if poses.shape[0] == 0:
+                continue
+            if p.footprint is None or len(p.footprint) == 0:
+                circular.setdefault(float(p.radius), []).append(i)
+            else:
+                polygonal.append(i)
+
+        for radius, ids in circular.items():
+            self._run_circular(paths, results, ids, radius)
+        for i in polygonal:
+            self._run_polygonal(paths, results, [i])
+        return results
+
+    def _run_circular(self, paths, results, ids, radius):
+        offset = self.config.footprint.circular_footprint_offset
+        N = max(np.atleast_2d(np.asarray(paths[i].poses)).shape[0] for i in ids)
+        P = len(ids)
+        poses = np.zeros((P, N, 2), np.float32)
+        n_poses = np.zeros((P,), np.int32)
+        for b, i in enumerate(ids):
+            pp = np.atleast_2d(np.asarray(paths[i].poses, dtype=np.float32))[:, :2]
+            poses[b, : len(pp)] = pp
+            poses[b, len(pp) :] = pp[-1]
+            n_poses[b] = len(pp)
+        max_cells = self._max_segment_cells(poses, n_poses)
+        safe, trav = _circular_paths_jit(
+            self.query_state, jnp.asarray(poses), jnp.asarray(n_poses),
+            float(radius), float(offset), int(max_cells),
+        )
+        safe = np.asarray(safe)
+        trav = np.asarray(trav)
+        for b, i in enumerate(ids):
+            results[i].is_safe = bool(safe[b])
+            results[i].traversability = float(trav[b])
+            if paths[i].compute_untraversable_polygon and not safe[b]:
+                results[i].untraversable_polygon = self._untraversable_hull_circle(
+                    poses[b, : n_poses[b]], radius + offset
+                )
+
+    def _run_polygonal(self, paths, results, ids):
+        for i in ids:
+            p = paths[i]
+            poses = np.atleast_2d(np.asarray(p.poses, dtype=np.float32))
+            N = poses.shape[0]
+            pos3 = np.zeros((1, N, 3), np.float32)
+            pos3[0, :, : poses.shape[1]] = poses
+            quats = np.zeros((1, N, 4), np.float32)
+            quats[0, :, 3] = 1.0
+            if p.orientations is not None:
+                quats[0] = np.asarray(p.orientations, np.float32).reshape(N, 4)
+            fp = np.asarray(p.footprint, np.float32)
+            seg_max = (
+                float(np.max(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=-1)))
+                if N > 1
+                else 0.0
+            )
+            window = fp_ops.polygon_window_cells(
+                fp, seg_max, self.config.chain.resolution, p.conservative
+            )
+            safe, trav, area = _polygonal_paths_jit(
+                self.query_state,
+                jnp.asarray(pos3),
+                jnp.asarray(quats),
+                jnp.asarray([N], dtype=jnp.int32),
+                jnp.asarray(fp),
+                int(window),
+                bool(p.conservative),
+            )
+            results[i].is_safe = bool(np.asarray(safe)[0])
+            results[i].traversability = float(np.asarray(trav)[0])
+            results[i].area = float(np.asarray(area)[0])
+            if p.compute_untraversable_polygon and not results[i].is_safe:
+                results[i].untraversable_polygon = self._untraversable_hull_circle(
+                    poses[:, :2],
+                    float(np.max(np.linalg.norm(fp, axis=1))) + seg_max,
+                )
+
+    # fast-path array APIs for large batches (bench configs 3 & 5)
+    def check_circular_paths_batch(
+        self, poses: np.ndarray, n_poses: np.ndarray, radius: float
+    ):
+        offset = self.config.footprint.circular_footprint_offset
+        max_cells = self._max_segment_cells(poses, n_poses)
+        return _circular_paths_jit(
+            self.query_state, jnp.asarray(poses, jnp.float32),
+            jnp.asarray(n_poses, jnp.int32), float(radius), float(offset),
+            int(max_cells),
+        )
+
+    def check_polygonal_paths_batch(
+        self,
+        positions: np.ndarray,
+        quaternions: np.ndarray,
+        n_poses: np.ndarray,
+        footprint: np.ndarray,
+        conservative: bool = False,
+    ):
+        poses2 = np.asarray(positions)[..., :2]
+        seg = np.linalg.norm(np.diff(poses2, axis=1), axis=-1)
+        seg_max = float(seg.max()) if seg.size else 0.0
+        window = fp_ops.polygon_window_cells(
+            footprint, seg_max, self.config.chain.resolution, conservative
+        )
+        return _polygonal_paths_jit(
+            self.query_state,
+            jnp.asarray(positions, jnp.float32),
+            jnp.asarray(quaternions, jnp.float32),
+            jnp.asarray(n_poses, jnp.int32),
+            jnp.asarray(footprint, jnp.float32),
+            int(window),
+            bool(conservative),
+        )
+
+    def _max_segment_cells(self, poses, n_poses) -> int:
+        res = self.config.chain.resolution
+        if poses.shape[1] < 2:
+            return 4
+        seg = np.linalg.norm(np.diff(np.asarray(poses), axis=1), axis=-1)
+        longest = float(seg.max()) if seg.size else 0.0
+        return int(np.ceil(longest / res)) + 3
+
+    def _untraversable_hull_circle(self, poses_xy, reach) -> Optional[np.ndarray]:
+        """Diagnostic parity for compute_untraversable_polygon: convex hull of
+        untraversable cells within `reach` of the path (host-side)."""
+        mask = ~np.asarray(self.query_state.traversable_mask)
+        if not mask.any():
+            return None
+        rows, cols = mask.shape
+        res = self.config.chain.resolution
+        half = np.array([rows, cols]) * res / 2.0
+        ii, jj = np.nonzero(mask)
+        xy = np.stack(
+            [
+                self._position[0] + half[0] - (ii + 0.5) * res,
+                self._position[1] + half[1] - (jj + 0.5) * res,
+            ],
+            axis=-1,
+        )
+        poses_xy = np.atleast_2d(poses_xy)
+        d = np.min(
+            np.linalg.norm(xy[:, None, :] - poses_xy[None, :, :], axis=-1), axis=1
+        )
+        near = xy[d <= reach]
+        if len(near) == 0:
+            return None
+        return convex_hull_np(near)
+
+    # ------------------------------------------------------------------
+    # dense footprint services
+    # ------------------------------------------------------------------
+    def traversability_footprint(self, footprint_yaw: Optional[float] = None) -> GridMap:
+        """Dense polygonal footprint scoring at every cell -> adds
+        ``traversability_x`` / ``traversability_rot`` layers
+        (TraversabilityMap.cpp:239-305)."""
+        yaw = self.config.footprint_yaw if footprint_yaw is None else footprint_yaw
+        fp = np.asarray(self.config.footprint.footprint_polygon, np.float32)
+        window = fp_ops.polygon_window_cells(fp, 0.0, self.config.chain.resolution)
+        t0 = time.perf_counter()
+        x_layer = _footprint_layer_jit(self.query_state, jnp.asarray(fp), 0.0, window)
+        rot_layer = _footprint_layer_jit(
+            self.query_state, jnp.asarray(fp), float(yaw), window
+        )
+        jax.block_until_ready((x_layer, rot_layer))
+        self.last_footprint_seconds = time.perf_counter() - t0
+        self._map = self._map.add_all(
+            {"traversability_x": x_layer, "traversability_rot": rot_layer}
+        )
+        return self._map
+
+    def traversability_footprint_circle(
+        self, radius: Optional[float] = None, offset: Optional[float] = None
+    ) -> GridMap:
+        """Dense circular variant -> ``traversability_footprint`` layer
+        (TraversabilityMap.cpp:307-318)."""
+        r = self.config.footprint.circular_footprint_radius_inscribed if radius is None else radius
+        o = self.config.footprint.circular_footprint_offset if offset is None else offset
+        layer = _footprint_circle_layer_jit(self.query_state, float(r), float(o))
+        self._map = self._map.add_all({"traversability_footprint": layer})
+        return self._map
+
+    # ------------------------------------------------------------------
+    # config reload / checkpointing
+    # ------------------------------------------------------------------
+    def update_parameters(self, config: EstimatorConfig) -> bool:
+        """Hot reload (update_parameters service + TraversabilityMap::
+        updateFilter): new static config -> next update re-jits (cached per
+        config)."""
+        self.config = config
+        self._traversability_default = config.footprint.traversability_default
+        return True
+
+    def set_default_traversability(self, value: float):
+        value = min(max(value, 0.0), 1.0)  # boundTraversabilityValue parity
+        self._traversability_default = value
+
+    def save(self, path: str):
+        """NPZ snapshot of the full map state (save_traversability_map_to_bag
+        analog; NPZ instead of rosbag)."""
+        if self._map is None:
+            raise RuntimeError("nothing to save")
+        data = {f"layer_{k}": np.asarray(v) for k, v in self._map.layers.items()}
+        np.savez_compressed(
+            path,
+            resolution=self.config.chain.resolution,
+            position=np.asarray(self._position),
+            **data,
+        )
+
+    def load_elevation_map(self, path: str) -> bool:
+        """Load from a rosbag (reference checkpoint format) or an NPZ
+        snapshot, then recompute traversability (loadElevationMap parity:
+        recompute-on-load, TraversabilityEstimation.cpp:125-152)."""
+        if path.endswith(".bag"):
+            from traversability_estimation_tpu.utils.rosbag import load_grid_map_bag
+
+            msg = load_grid_map_bag(path)
+            self.set_elevation_map(
+                msg.data["elevation"], np.asarray(msg.position[:2], np.float32)
+            )
+        else:
+            blob = np.load(path)
+            self.set_elevation_map(blob["layer_elevation"], blob["position"])
+        return self.update()
+
+    def map_has_valid_traversability_at(self, x: float, y: float) -> bool:
+        """mapHasValidTraversabilityAt parity (TraversabilityMap.cpp:971-983)."""
+        if self._map is None:
+            return False
+        idx = np.asarray(self._map.index_of(jnp.asarray([x, y], jnp.float32)))
+        rows, cols = self._map.size
+        if not (0 <= idx[0] < rows and 0 <= idx[1] < cols):
+            return False
+        return bool(np.isfinite(np.asarray(self._map["traversability"])[idx[0], idx[1]]))
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (static configs cached per compilation)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _merge_masks(*masks):  # pragma: no cover - helper
+    out = masks[0]
+    for m in masks[1:]:
+        out = out & m
+    return out
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _update_step(elevation, chain_cfg: chain_ops.ChainConfig, veto_cfg: veto_ops.VetoConfig):
+    layers = chain_ops.run_chain(elevation, chain_cfg)
+    veto = veto_ops.compute_veto_fields(
+        {
+            "elevation": elevation,
+            "traversability_slope": layers["traversability_slope"],
+            "traversability_step": layers["traversability_step"],
+            **(
+                {"traversability_roughness": layers["traversability_roughness"]}
+                if veto_cfg.check_roughness
+                else {}
+            ),
+        },
+        veto_cfg,
+    )
+    layers.update(veto)
+    # boolean planes stay for queries; footprint parity layers are float
+    return layers
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _circular_paths_jit(state, poses, n_poses, radius, offset, max_cells):
+    return fp_ops.check_circular_paths(state, poses, n_poses, radius, offset, max_cells)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _polygonal_paths_jit(state, pos3, quats, n_poses, footprint, window, conservative):
+    return fp_ops.check_polygonal_paths(
+        state, pos3, quats, n_poses, footprint, window, conservative
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _footprint_layer_jit(state, footprint, yaw, window):
+    """Dense per-cell polygonal footprint score (either yaw) — the footprint
+    polygon placed at every cell center; static raster window."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    R = jnp.array([[c, -s], [s, c]], jnp.float32)
+    fp = footprint @ R.T  # (V, 2) rotated footprint
+    rows, cols = state.shape
+    ii, jj = jnp.meshgrid(
+        jnp.arange(rows, dtype=jnp.int32),
+        jnp.arange(cols, dtype=jnp.int32),
+        indexing="ij",
+    )
+    centers = fp_ops._position_of(state, jnp.stack([ii, jj], axis=-1))
+    centers_flat = centers.reshape(-1, 2)
+    B = centers_flat.shape[0]
+    verts = centers_flat[:, None, :] + fp[None, :, :]
+    V = fp.shape[0]
+    ok, trav, _ = fp_ops.check_polygons(
+        state,
+        verts,
+        jnp.full((B,), V, jnp.int32),
+        centers_flat,
+        window,
+    )
+    return jnp.where(ok, trav, 0.0).reshape(rows, cols).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _footprint_circle_layer_jit(state, radius, offset):
+    return fp_ops.traversability_footprint_circles(state, radius, offset)

@@ -1,0 +1,386 @@
+"""The filter chain as fused, jit-compiled device compute (XLA path).
+
+TPU-first re-design of the reference's per-cell iterator filters
+(/root/reference/traversability_estimation_filters/src/{Slope,Step,Roughness}Filter.cpp
+plus grid_map_filters' NormalVectorsFilter and MathExpressionFilter configured
+in config/robot_filter_parameter.yaml). Instead of nested C++ loops with
+per-cell Eigen solves, every window operation is a static-offset shifted
+reduction over whole (rows, cols) planes, the 3x3 eigenproblem is solved in
+closed form for all cells at once, and XLA fuses the lot into a handful of
+kernels. NaN layers ("unknown") propagate exactly as in the reference.
+
+Numerical design: the reference accumulates point moments in float64 over
+ABSOLUTE map coordinates. On TPU we accumulate in float32 over LOCAL
+coordinates (offsets from the center cell, elevation as-is) — mathematically
+the same covariance/scatter matrices (shift invariance), but without the
+catastrophic cancellation that absolute coordinates would cause in f32.
+
+A Pallas fused-stencil version of this chain lives in ``ops.pallas_chain``;
+this module is the reference device implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from traversability_estimation_tpu.grid.geometry import circle_offsets
+
+Array = jnp.ndarray
+
+_NEG = jnp.float32(-3.0e38)
+_POS = jnp.float32(3.0e38)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    """Static filter-chain parameters; names follow the reference YAML
+    (config/robot_filter_parameter.yaml)."""
+
+    resolution: float
+    normals_radius: float = 0.05
+    slope_critical_value: float = 1.0
+    step_critical_value: float = 0.12
+    step_first_window_radius: float = 0.04
+    step_second_window_radius: float = 0.04
+    step_critical_cell_number: int = 4
+    roughness_critical_value: float = 0.05
+    roughness_estimation_radius: float = 0.05
+    # weighted fusion: traversability = sum(w * layer); default = reference's
+    # MathExpressionFilter "(1/3)*(slope+step+roughness)"
+    fusion_weights: Tuple[Tuple[str, float], ...] = (
+        ("traversability_slope", 1.0 / 3.0),
+        ("traversability_step", 1.0 / 3.0),
+        ("traversability_roughness", 1.0 / 3.0),
+    )
+    # general MathExpressionFilter parity: an arithmetic expression over layer
+    # names (e.g. "(1.0/3.0)*(traversability_slope + ...)"); overrides
+    # fusion_weights when set
+    fusion_expression: str = ""
+    compute_roughness: bool = True
+
+
+def _shifted(arr: Array, di: int, dj: int, fill) -> Array:
+    """Value of arr at index (i+di, j+dj), `fill` outside (static offsets)."""
+    rows, cols = arr.shape
+    out = jnp.full((rows, cols), fill, dtype=arr.dtype)
+    si0, si1 = max(di, 0), rows + min(di, 0)
+    sj0, sj1 = max(dj, 0), cols + min(dj, 0)
+    di0, di1 = max(-di, 0), rows + min(-di, 0)
+    dj0, dj1 = max(-dj, 0), cols + min(-dj, 0)
+    if si1 <= si0 or sj1 <= sj0:
+        return out
+    return out.at[di0:di1, dj0:dj1].set(arr[si0:si1, sj0:sj1])
+
+
+# ---------------------------------------------------------------------------
+# Closed-form symmetric 3x3 eigensolver (batched over the whole map)
+# ---------------------------------------------------------------------------
+
+
+def smallest_eigpair_sym3(A: Array, sweeps: int = 4) -> Tuple[Array, Array, Array]:
+    """Smallest eigenvalue + its eigenvector of symmetric 3x3 matrices.
+
+    A: (..., 3, 3) float32. Returns (eig_min, eig_mid, v_min), v_min unit
+    length. Cyclic Jacobi with a fixed rotation schedule (branchless, fully
+    vectorized over the batch): `sweeps` cycles over pivots (0,1),(0,2),(1,2)
+    reach float32 machine precision for these tiny well-scaled matrices.
+    """
+    dtype = A.dtype
+    V = jnp.broadcast_to(jnp.eye(3, dtype=dtype), A.shape)
+
+    def rotate(A, V, p, q):
+        # explicit plane-rotation update: no matmuls (JAX matmul default
+        # precision on TPU is bf16, which would stall convergence at ~3e-3)
+        k = 3 - p - q  # the untouched index
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        apk = A[..., p, k]
+        aqk = A[..., q, k]
+        akk = A[..., k, k]
+        # tan(2 theta) = 2 apq / (aqq - app); branchless stable rotation
+        tau = (aqq - app) / jnp.where(apq == 0.0, 1.0, 2.0 * apq)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)  # tau==0 -> theta = pi/4
+        t = jnp.where(apq == 0.0, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        new_pp = c * c * app - 2.0 * s * c * apq + s * s * aqq
+        new_qq = s * s * app + 2.0 * s * c * apq + c * c * aqq
+        new_pk = c * apk - s * aqk
+        new_qk = s * apk + c * aqk
+        zero = jnp.zeros_like(app)
+        rows = {p: {p: new_pp, q: zero, k: new_pk},
+                q: {p: zero, q: new_qq, k: new_qk},
+                k: {p: new_pk, q: new_qk, k: akk}}
+        A = jnp.stack(
+            [jnp.stack([rows[i][j] for j in range(3)], axis=-1) for i in range(3)],
+            axis=-2,
+        )
+        vp = V[..., :, p]
+        vq = V[..., :, q]
+        ce, se = c[..., None], s[..., None]
+        vcols = {p: ce * vp - se * vq, q: se * vp + ce * vq, k: V[..., :, k]}
+        V = jnp.stack([vcols[j] for j in range(3)], axis=-1)
+        return A, V
+
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            A, V = rotate(A, V, p, q)
+
+    diag = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    order = jnp.argsort(diag, axis=-1)
+    eig_min = jnp.take_along_axis(diag, order[..., :1], axis=-1)[..., 0]
+    eig_mid = jnp.take_along_axis(diag, order[..., 1:2], axis=-1)[..., 0]
+    v = jnp.take_along_axis(V, order[..., None, :1], axis=-1)[..., 0]
+    return eig_min, eig_mid, v
+
+
+# ---------------------------------------------------------------------------
+# Chain stages
+# ---------------------------------------------------------------------------
+
+
+def surface_normals(
+    elevation: Array, resolution: float, radius: float
+) -> Dict[str, Array]:
+    """PCA surface normals over a circular window (NormalVectorsFilter 'area').
+
+    NaN where the center cell's elevation is invalid. Degenerate windows
+    (second eigenvalue <= 1e-8) take the +z axis, matching the reference
+    dependency's guard.
+    """
+    elev = elevation.astype(jnp.float32)
+    valid = jnp.isfinite(elev)
+    zf = jnp.where(valid, elev, 0.0)
+    vf = valid.astype(jnp.float32)
+    offs = circle_offsets(radius, resolution)
+
+    n = jnp.zeros_like(zf)
+    sx = jnp.zeros_like(zf)
+    sy = jnp.zeros_like(zf)
+    sz = jnp.zeros_like(zf)
+    sxx = jnp.zeros_like(zf)
+    sxy = jnp.zeros_like(zf)
+    sxz = jnp.zeros_like(zf)
+    syy = jnp.zeros_like(zf)
+    syz = jnp.zeros_like(zf)
+    szz = jnp.zeros_like(zf)
+    for di, dj in offs.tolist():
+        # neighbor local coordinates: grid_map x decreases with row index
+        dx = jnp.float32(-di * resolution)
+        dy = jnp.float32(-dj * resolution)
+        v = _shifted(vf, di, dj, 0.0)
+        # elevation relative to the center cell: shift-invariant moments that
+        # stay well-conditioned in float32 at any absolute altitude
+        z = _shifted(zf, di, dj, 0.0) - zf * v
+        n = n + v
+        sx = sx + v * dx
+        sy = sy + v * dy
+        sz = sz + z
+        sxx = sxx + v * dx * dx
+        sxy = sxy + v * dx * dy
+        sxz = sxz + z * dx
+        syy = syy + v * dy * dy
+        syz = syz + z * dy
+        szz = szz + z * z
+
+    ns = jnp.maximum(n, 1.0)
+    mx, my, mz = sx / ns, sy / ns, sz / ns
+    C = jnp.stack(
+        [
+            jnp.stack([sxx / ns - mx * mx, sxy / ns - mx * my, sxz / ns - mx * mz], -1),
+            jnp.stack([sxy / ns - mx * my, syy / ns - my * my, syz / ns - my * mz], -1),
+            jnp.stack([sxz / ns - mx * mz, syz / ns - my * mz, szz / ns - mz * mz], -1),
+        ],
+        axis=-2,
+    )
+    _, eig_mid, v = smallest_eigpair_sym3(C)
+    unit_z = jnp.array([0.0, 0.0, 1.0], dtype=jnp.float32)
+    degenerate = eig_mid <= 1e-8
+    v = jnp.where(degenerate[..., None], unit_z, v)
+    v = jnp.where((v[..., 2] < 0.0)[..., None], -v, v)
+    nan = jnp.float32(jnp.nan)
+    return {
+        "surface_normal_x": jnp.where(valid, v[..., 0], nan),
+        "surface_normal_y": jnp.where(valid, v[..., 1], nan),
+        "surface_normal_z": jnp.where(valid, v[..., 2], nan),
+    }
+
+
+def slope_from_normals(normal_z: Array, critical_value: float) -> Array:
+    """SlopeFilter formula: 1 - acos(nz)/critical, clamped to 0; NaN kept."""
+    nz = normal_z
+    slope = jnp.arccos(jnp.clip(nz, -1.0, 1.0))
+    out = jnp.where(slope < critical_value, 1.0 - slope / critical_value, 0.0)
+    return jnp.where(jnp.isfinite(nz), out, jnp.nan).astype(jnp.float32)
+
+
+def step_layer(
+    elevation: Array,
+    resolution: float,
+    critical_value: float,
+    first_window_radius: float,
+    second_window_radius: float,
+    critical_cell_number: int,
+) -> Array:
+    """StepFilter: windowed (max-min), then windowed max/count mixing."""
+    elev = elevation.astype(jnp.float32)
+    valid = jnp.isfinite(elev)
+    zmax_in = jnp.where(valid, elev, _NEG)
+    zmin_in = jnp.where(valid, elev, _POS)
+
+    hmax = jnp.full_like(elev, _NEG)
+    hmin = jnp.full_like(elev, _POS)
+    any1 = jnp.zeros(elev.shape, dtype=bool)
+    for di, dj in circle_offsets(first_window_radius, resolution).tolist():
+        hmax = jnp.maximum(hmax, _shifted(zmax_in, di, dj, _NEG))
+        hmin = jnp.minimum(hmin, _shifted(zmin_in, di, dj, _POS))
+        any1 = any1 | _shifted(valid, di, dj, False)
+    step_height = jnp.where(valid & any1, hmax - hmin, jnp.nan)
+
+    sh_max_in = jnp.where(jnp.isfinite(step_height), step_height, _NEG)
+    sh_valid = jnp.isfinite(step_height)
+    smax = jnp.zeros_like(elev)
+    ncrit = jnp.zeros_like(elev)
+    any2 = jnp.zeros(elev.shape, dtype=bool)
+    for di, dj in circle_offsets(second_window_radius, resolution).tolist():
+        shn = _shifted(sh_max_in, di, dj, _NEG)
+        vn = _shifted(sh_valid, di, dj, False)
+        any2 = any2 | vn
+        smax = jnp.maximum(smax, jnp.where(vn, shn, 0.0))
+        ncrit = ncrit + jnp.where(vn & (shn > critical_value), 1.0, 0.0)
+    step = jnp.minimum(smax, ncrit / float(critical_cell_number) * smax)
+    out = jnp.where(step < critical_value, 1.0 - step / critical_value, 0.0)
+    return jnp.where(any2, out, jnp.nan).astype(jnp.float32)
+
+
+def roughness_layer(
+    elevation: Array,
+    normals: Dict[str, Array],
+    resolution: float,
+    critical_value: float,
+    estimation_radius: float,
+) -> Array:
+    """RoughnessFilter: std of distances to the center cell's tangent plane."""
+    elev = elevation.astype(jnp.float32)
+    valid = jnp.isfinite(elev)
+    zf = jnp.where(valid, elev, 0.0)
+    vf = valid.astype(jnp.float32)
+
+    n = jnp.zeros_like(zf)
+    sx = jnp.zeros_like(zf)
+    sy = jnp.zeros_like(zf)
+    sz = jnp.zeros_like(zf)
+    sxx = jnp.zeros_like(zf)
+    sxy = jnp.zeros_like(zf)
+    sxz = jnp.zeros_like(zf)
+    syy = jnp.zeros_like(zf)
+    syz = jnp.zeros_like(zf)
+    szz = jnp.zeros_like(zf)
+    for di, dj in circle_offsets(estimation_radius, resolution).tolist():
+        dx = jnp.float32(-di * resolution)
+        dy = jnp.float32(-dj * resolution)
+        v = _shifted(vf, di, dj, 0.0)
+        # elevation relative to the center cell: shift-invariant moments that
+        # stay well-conditioned in float32 at any absolute altitude
+        z = _shifted(zf, di, dj, 0.0) - zf * v
+        n = n + v
+        sx = sx + v * dx
+        sy = sy + v * dy
+        sz = sz + z
+        sxx = sxx + v * dx * dx
+        sxy = sxy + v * dx * dy
+        sxz = sxz + z * dx
+        syy = syy + v * dy * dy
+        syz = syz + z * dy
+        szz = szz + z * z
+
+    nx = normals["surface_normal_x"]
+    ny = normals["surface_normal_y"]
+    nz = normals["surface_normal_z"]
+    has_normal = jnp.isfinite(nx)
+    nx0 = jnp.where(has_normal, nx, 0.0)
+    ny0 = jnp.where(has_normal, ny, 0.0)
+    nz0 = jnp.where(has_normal, nz, 0.0)
+
+    ns = jnp.maximum(n, 1.0)
+    mx, my, mz = sx / ns, sy / ns, sz / ns
+    # scatter matrix S = sum (q - mean)(q - mean)^T ; quad = n^T S n
+    cxx = sxx - n * mx * mx
+    cxy = sxy - n * mx * my
+    cxz = sxz - n * mx * mz
+    cyy = syy - n * my * my
+    cyz = syz - n * my * mz
+    czz = szz - n * mz * mz
+    quad = (
+        nx0 * (cxx * nx0 + cxy * ny0 + cxz * nz0)
+        + ny0 * (cxy * nx0 + cyy * ny0 + cyz * nz0)
+        + nz0 * (cxz * nx0 + cyz * ny0 + czz * nz0)
+    )
+    quad = jnp.maximum(quad, 0.0)
+    denom = n - 1.0
+    roughness = jnp.sqrt(quad / jnp.where(denom > 0.0, denom, jnp.nan))
+    out = jnp.where(roughness < critical_value, 1.0 - roughness / critical_value, 0.0)
+    return jnp.where(has_normal, out, jnp.nan).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Full chain
+# ---------------------------------------------------------------------------
+
+
+def run_chain(elevation: Array, config: ChainConfig) -> Dict[str, Array]:
+    """Elevation -> all traversability layers (one traced computation).
+
+    Equivalent of filter_chain_.update(...) at
+    /root/reference/traversability_estimation/src/TraversabilityMap.cpp:214
+    with the default chain; the DeletionFilter stage is a no-op here because
+    normals never leave the traced computation unless requested.
+    """
+    normals = surface_normals(elevation, config.resolution, config.normals_radius)
+    out: Dict[str, Array] = {}
+    out["traversability_slope"] = slope_from_normals(
+        normals["surface_normal_z"], config.slope_critical_value
+    )
+    out["traversability_step"] = step_layer(
+        elevation,
+        config.resolution,
+        config.step_critical_value,
+        config.step_first_window_radius,
+        config.step_second_window_radius,
+        config.step_critical_cell_number,
+    )
+    if config.compute_roughness:
+        out["traversability_roughness"] = roughness_layer(
+            elevation,
+            normals,
+            config.resolution,
+            config.roughness_critical_value,
+            config.roughness_estimation_radius,
+        )
+    if config.fusion_expression:
+        # MathExpressionFilter parity: arithmetic over layer-name variables
+        namespace = {"__builtins__": {}}
+        namespace.update(out)
+        fused = eval(config.fusion_expression, namespace)  # noqa: S307
+    else:
+        fused = jnp.zeros_like(out["traversability_slope"])
+        for layer, w in config.fusion_weights:
+            if layer in out:
+                fused = fused + jnp.float32(w) * out[layer]
+    out["traversability"] = fused.astype(jnp.float32)
+    return out
+
+
+@partial(jax.jit, static_argnums=(1,))
+def run_chain_jit(elevation: Array, config: ChainConfig) -> Dict[str, Array]:
+    """Jitted chain; `config` is static (hashable dataclass) so each distinct
+    configuration compiles exactly once."""
+    return run_chain(elevation, config)

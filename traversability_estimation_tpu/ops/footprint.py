@@ -1,0 +1,477 @@
+"""Batched footprint & path traversability evaluation on device.
+
+TPU-first re-expression of the reference's query engine
+(/root/reference/traversability_estimation/src/TraversabilityMap.cpp:320-746):
+the per-query SpiralIterator walks, LineIterator sampling, and
+PolygonIterator rasterization become fixed-shape gathers + masked prefix
+reductions, vectorized over thousands of poses/paths at once. The veto
+cascade is consumed as the dense ``traversable_mask`` plane from
+``ops.veto`` (verdict-equivalent to the reference's lazy memo caches).
+
+Semantics parity:
+- circular checks reproduce the exact grid_map spiral visit order (static
+  host-precomputed ordering) because the reference's first-failure
+  radius-inflation result depends on within-ring order;
+- line sampling keeps the reference's stride-4 (nSkip=3) Bresenham walk from
+  segment end to start;
+- polygonal checks rasterize convex hulls of consecutive transformed
+  footprints (device monotone chain), crossing-number inclusion, area-weighted
+  path aggregation.
+
+Documented deviations (see also oracle/footprint.py):
+- radius-inflation verdict follows the intended semantics (pass with
+  mean * factor) rather than the reference's two inconsistent buggy paths;
+- no cross-query stale memoization: every query is computed fresh from the
+  current map (the reference's ``traversability_footprint`` cache can serve a
+  stale value to a query with a different radius);
+- path-length weighting uses a correct running length (reference reads an
+  uninitialized variable for >= 3 poses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from traversability_estimation_tpu.grid.geometry import (
+    line_cells_batch,
+    polygon_area,
+    polygon_contains,
+    spiral_order,
+)
+from traversability_estimation_tpu.ops.hull import convex_hull_batch
+
+Array = jnp.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class QueryState:
+    """Compact per-map-update state that footprint queries gather from."""
+
+    traversability: Array  # (H, W) f32, NaN = unknown
+    traversable_mask: Array  # (H, W) bool, dense veto verdicts
+    position: Array  # (2,) map center in map frame
+    resolution: float  # static
+    default_traversability: float = 0.5  # static
+
+    def tree_flatten(self):
+        return (self.traversability, self.traversable_mask, self.position), (
+            self.resolution,
+            self.default_traversability,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        t, m, p = children
+        return cls(t, m, p, aux[0], aux[1])
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.traversability.shape
+
+
+def _origin_offset(state: QueryState) -> Array:
+    rows, cols = state.shape
+    half = jnp.asarray([rows, cols], jnp.float32) * state.resolution * 0.5
+    return state.position + half  # index i covers x in (P0-(i+1)res, P0-i*res]
+
+
+def _index_of(state: QueryState, xy: Array) -> Array:
+    p0 = _origin_offset(state)
+    return jnp.floor((p0 - xy) / state.resolution).astype(jnp.int32)
+
+
+def _position_of(state: QueryState, idx: Array) -> Array:
+    p0 = _origin_offset(state)
+    return p0 - (idx.astype(jnp.float32) + 0.5) * state.resolution
+
+
+def _is_inside(state: QueryState, xy: Array) -> Array:
+    rows, cols = state.shape
+    p0 = _origin_offset(state)
+    t = p0 - xy
+    length = jnp.asarray([rows, cols], jnp.float32) * state.resolution
+    return jnp.all((t >= 0.0) & (t < length), axis=-1)
+
+
+def _gather_plane(plane: Array, cells: Array, fill):
+    """plane (H,W) at integer cells (..., 2); `fill` outside the map."""
+    rows, cols = plane.shape
+    ci = cells[..., 0]
+    cj = cells[..., 1]
+    inmap = (ci >= 0) & (ci < rows) & (cj >= 0) & (cj < cols)
+    lin = jnp.clip(ci, 0, rows - 1) * cols + jnp.clip(cj, 0, cols - 1)
+    vals = jnp.take(plane.reshape(-1), lin)
+    return jnp.where(inmap, vals, fill), inmap
+
+
+# ---------------------------------------------------------------------------
+# Circular footprint checks (spiral-order parity)
+# ---------------------------------------------------------------------------
+
+
+def check_circles(
+    state: QueryState,
+    centers: Array,
+    radius_max: float,
+    radius_min: float,
+) -> Tuple[Array, Array]:
+    """Batched isTraversable(center, radiusMax, ..., radiusMin).
+
+    centers: (..., 2) map-frame positions. radius_max/radius_min static.
+    Returns (ok (...,) bool, traversability (...,) f32).
+    """
+    offs_np, rings_np = spiral_order(radius_max, state.resolution)
+    n_rings = int(math.ceil(radius_max / state.resolution - 1e-12))
+    offs = jnp.asarray(offs_np)  # (K, 2)
+    rings = jnp.asarray(rings_np)  # (K,)
+    radii = jnp.asarray(
+        np.linalg.norm(offs_np.astype(np.float64), axis=1) * state.resolution,
+        dtype=jnp.float32,
+    )
+
+    centers = jnp.asarray(centers, jnp.float32)
+    idx = _index_of(state, centers)  # (..., 2)
+    cells = idx[..., None, :] + offs  # (..., K, 2)
+
+    trav_vals, inmap = _gather_plane(state.traversability, cells, jnp.nan)
+    ok_vals, _ = _gather_plane(state.traversable_mask, cells, True)
+
+    # outermost two rings: grid_map re-checks true Euclidean distance to the
+    # (sub-cell accurate) query center
+    cell_pos = _position_of(state, cells)
+    d2 = jnp.sum((cell_pos - centers[..., None, :]) ** 2, axis=-1)
+    outer = rings >= max(n_rings - 1, 0)
+    within = jnp.where(outer, d2 <= radius_max * radius_max, True)
+
+    active = inmap & within  # (..., K)
+    fail = active & ~ok_vals
+    passing = active & ok_vals
+    tv = jnp.where(
+        jnp.isfinite(trav_vals), trav_vals, state.default_traversability
+    )
+    contrib = jnp.where(passing, tv, 0.0)
+
+    K = offs.shape[0]
+    any_fail = jnp.any(fail, axis=-1)
+    first_fail = jnp.argmax(fail, axis=-1)  # valid only when any_fail
+
+    # pairwise prefix sums: f32 sequential cumsum over hundreds of cells
+    # drifts ~1e-3 vs the reference's double accumulation; the log-depth scan
+    # keeps it ~1e-5 (and is also the faster lowering on TPU)
+    cum_cnt = jax.lax.associative_scan(jnp.add, passing.astype(jnp.float32), axis=-1)
+    cum_sum = jax.lax.associative_scan(jnp.add, contrib, axis=-1)
+    total_cnt = cum_cnt[..., -1]
+    total_sum = cum_sum[..., -1]
+
+    # counts/sums strictly before the first failing spiral position
+    ff = first_fail[..., None]
+    before_cnt = jnp.squeeze(
+        jnp.take_along_axis(cum_cnt, ff, axis=-1), -1
+    ) - jnp.squeeze(
+        jnp.take_along_axis(passing.astype(jnp.float32), ff, axis=-1), -1
+    )
+    before_sum = jnp.squeeze(
+        jnp.take_along_axis(cum_sum, ff, axis=-1), -1
+    ) - jnp.squeeze(jnp.take_along_axis(contrib, ff, axis=-1), -1)
+    r_fail = radii[first_fail]
+
+    default = jnp.float32(state.default_traversability)
+    mean_all = total_sum / jnp.maximum(total_cnt, 1.0)
+
+    if radius_min == 0.0:
+        ok = ~any_fail
+        trav = jnp.where(ok, mean_all, 0.0)
+    else:
+        hard_fail = any_fail & (r_fail <= radius_min)
+        inflate = any_fail & (r_fail > radius_min)
+        factor = ((r_fail - radius_min) / (radius_max - radius_min) + 1.0) / 2.0
+        mean_before = before_sum / jnp.maximum(before_cnt, 1.0)
+        ok = ~hard_fail
+        trav = jnp.where(
+            inflate,
+            mean_before * factor,
+            jnp.where(hard_fail, 0.0, mean_all),
+        )
+
+    # centers outside the map: default verdict (TraversabilityMap.cpp:662-667)
+    inside = _is_inside(state, centers)
+    ok = jnp.where(inside, ok, default != 0.0)
+    trav = jnp.where(inside, trav, default)
+    return ok, trav
+
+
+def traversability_footprint_circles(
+    state: QueryState, radius: float, offset: float
+) -> Array:
+    """Dense per-cell circular footprint scores: the
+    ``traversability_footprint`` service layer (TraversabilityMap.cpp:307-318).
+    Returns (H, W) float32: score where traversable, 0.0 where not."""
+    rows, cols = state.shape
+    ii, jj = jnp.meshgrid(
+        jnp.arange(rows, dtype=jnp.int32),
+        jnp.arange(cols, dtype=jnp.int32),
+        indexing="ij",
+    )
+    centers = _position_of(state, jnp.stack([ii, jj], axis=-1))
+    ok, trav = check_circles(state, centers, radius + offset, radius)
+    return jnp.where(ok, trav, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Circular footprint paths
+# ---------------------------------------------------------------------------
+
+
+def check_circular_paths(
+    state: QueryState,
+    poses: Array,
+    n_poses: Array,
+    radius: float,
+    offset: float = 0.15,
+    max_segment_cells: int = 64,
+) -> Tuple[Array, Array]:
+    """Batched checkCircularFootprintPath (TraversabilityMap.cpp:345-462).
+
+    poses: (P, N, 2) map-frame positions, first n_poses[p] valid per path.
+    Returns (is_safe (P,), traversability (P,)).
+    """
+    poses = jnp.asarray(poses, jnp.float32)
+    P, N, _ = poses.shape
+    n_poses = jnp.asarray(n_poses, jnp.int32)
+
+    # --- single-pose paths ----------------------------------------------
+    ok1, trav1 = check_circles(state, poses[:, 0, :], radius + offset, radius)
+
+    if N == 1:
+        safe = ok1 & (n_poses >= 1)
+        return safe, jnp.where(ok1, trav1, 0.0)
+
+    # --- multi-pose: per segment, stride-4 line sampling ------------------
+    starts = poses[:, :-1, :]  # (P, N-1, 2)
+    ends = poses[:, 1:, :]
+    seg_valid = (jnp.arange(1, N)[None, :] < n_poses[:, None])  # (P, N-1)
+
+    start_idx = _index_of(state, starts)
+    end_idx = _index_of(state, ends)
+    # reference iterates from END to START (TraversabilityMap.cpp:404)
+    cells, cell_valid, n_line_cells = line_cells_batch(
+        end_idx, start_idx, max_segment_cells
+    )
+    # stride-4 sampling (nSkip = 3): positions 0, 4, 8, ...
+    S = (max_segment_cells + 3) // 4
+    sample_ids = jnp.arange(S) * 4
+    s_cells = cells[..., sample_ids, :]  # (P, N-1, S, 2)
+    s_valid = cell_valid[..., sample_ids]  # (P, N-1, S)
+
+    s_centers = _position_of(state, s_cells)
+    ok_s, trav_s = check_circles(state, s_centers, radius + offset, radius)
+
+    s_active = s_valid & seg_valid[..., None]
+    seg_ok = jnp.all(ok_s | ~s_active, axis=-1)  # (P, N-1)
+    n_s = jnp.maximum(jnp.sum(s_active, axis=-1), 1)
+    seg_trav = jnp.sum(jnp.where(s_active, trav_s, 0.0), axis=-1) / n_s
+
+    seg_len = jnp.linalg.norm(ends - starts, axis=-1)  # (P, N-1)
+    w = jnp.where(seg_valid, seg_len, 0.0)
+    # degenerate all-zero-length multi-pose path: uniform weights
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(w_sum > 0.0, w, seg_valid.astype(jnp.float32))
+    path_trav_multi = jnp.sum(w * seg_trav, axis=-1) / jnp.maximum(
+        jnp.sum(w, axis=-1), 1e-30
+    )
+    multi_ok = jnp.all(seg_ok | ~seg_valid, axis=-1)
+
+    is_single = n_poses == 1
+    safe = jnp.where(is_single, ok1, multi_ok) & (n_poses >= 1)
+    trav = jnp.where(is_single, trav1, path_trav_multi)
+    return safe, jnp.where(safe, trav, jnp.where(is_single, 0.0, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Polygonal footprints
+# ---------------------------------------------------------------------------
+
+
+def transform_footprint(
+    footprint: Array, positions: Array, quaternions: Array
+) -> Array:
+    """Transform footprint vertices (V, 2) by poses: full 3D rotation of
+    (x, y, 0) + translation, then drop z (TraversabilityMap.cpp:484-508).
+
+    positions: (..., 3); quaternions: (..., 4) as (x, y, z, w).
+    Returns (..., V, 2).
+    """
+    fp = jnp.asarray(footprint, jnp.float32)
+    V = fp.shape[0]
+    x, y, z, w = (quaternions[..., i] for i in range(4))
+    n = x * x + y * y + z * z + w * w
+    s = jnp.where(n > 0.0, 2.0 / n, 0.0)
+    # rotation matrix rows acting on (px, py, 0)
+    r00 = 1 - s * (y * y + z * z)
+    r01 = s * (x * y - z * w)
+    r10 = s * (x * y + z * w)
+    r11 = 1 - s * (x * x + z * z)
+    px = fp[:, 0]
+    py = fp[:, 1]
+    out_x = r00[..., None] * px + r01[..., None] * py + positions[..., 0:1]
+    out_y = r10[..., None] * px + r11[..., None] * py + positions[..., 1:2]
+    return jnp.stack([out_x, out_y], axis=-1)
+
+
+def check_polygons(
+    state: QueryState,
+    vertices: Array,
+    n_vertices: Array,
+    anchors: Array,
+    window: int,
+) -> Tuple[Array, Array, Array]:
+    """Batched isTraversable(polygon) (TraversabilityMap.cpp:586-645).
+
+    vertices: (B, M, 2) polygon vertices (first n_vertices real, CCW or CW);
+    anchors: (B, 2) map positions around which the static raster window is
+    centered — the window (window x window cells) must cover the polygon.
+    Returns (ok (B,), traversability (B,), n_cells (B,)).
+    """
+    B, M, _ = vertices.shape
+    half = window // 2
+    oi, oj = jnp.meshgrid(
+        jnp.arange(window, dtype=jnp.int32) - half,
+        jnp.arange(window, dtype=jnp.int32) - half,
+        indexing="ij",
+    )
+    offs = jnp.stack([oi.reshape(-1), oj.reshape(-1)], axis=-1)  # (W2, 2)
+
+    anchor_idx = _index_of(state, anchors)  # (B, 2)
+    cells = anchor_idx[:, None, :] + offs[None, :, :]  # (B, W2, 2)
+    cell_pos = _position_of(state, cells)
+
+    inside = jax.vmap(polygon_contains)(vertices, n_vertices, cell_pos)  # (B, W2)
+    trav_vals, inmap = _gather_plane(state.traversability, cells, jnp.nan)
+    ok_vals, _ = _gather_plane(state.traversable_mask, cells, True)
+
+    active = inside & inmap
+    fail = jnp.any(active & ~ok_vals, axis=-1)
+    passing = active & ok_vals
+    tv = jnp.where(jnp.isfinite(trav_vals), trav_vals, state.default_traversability)
+    n_cells = jnp.sum(passing, axis=-1)
+    mean = jnp.sum(jnp.where(passing, tv, 0.0), axis=-1) / jnp.maximum(n_cells, 1)
+
+    default = jnp.float32(state.default_traversability)
+    empty = (n_cells == 0) & ~fail
+    ok = ~fail & jnp.where(empty, default != 0.0, True)
+    trav = jnp.where(fail, 0.0, jnp.where(empty, default, mean))
+    return ok, trav, n_cells
+
+
+def check_polygonal_paths(
+    state: QueryState,
+    positions: Array,
+    quaternions: Array,
+    n_poses: Array,
+    footprint: Array,
+    window: int,
+    conservative: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Batched checkPolygonalFootprintPath (TraversabilityMap.cpp:464-584).
+
+    positions: (P, N, 3); quaternions: (P, N, 4) xyzw; footprint: (V, 2) in
+    the base frame; `window` must cover hulls of consecutive footprints.
+    Returns (is_safe (P,), traversability (P,), area (P,)).
+    """
+    positions = jnp.asarray(positions, jnp.float32)
+    quaternions = jnp.asarray(quaternions, jnp.float32)
+    P, N, _ = positions.shape
+    V = footprint.shape[0]
+    n_poses = jnp.asarray(n_poses, jnp.int32)
+
+    polys = transform_footprint(footprint, positions, quaternions)  # (P, N, V, 2)
+
+    # --- single-pose --------------------------------------------------------
+    ok1, trav1, _ = check_polygons(
+        state,
+        polys[:, 0, :, :],
+        jnp.full((P,), V, jnp.int32),
+        positions[:, 0, :2],
+        window,
+    )
+    area1 = jax.vmap(polygon_area, in_axes=(0, None))(polys[:, 0], V)
+
+    if N == 1:
+        safe = ok1 & (n_poses >= 1)
+        return safe, jnp.where(ok1, trav1, 0.0), jnp.where(ok1, area1, 0.0)
+
+    # --- consecutive-pose hulls --------------------------------------------
+    prev = polys[:, :-1, :, :]  # (P, N-1, V, 2)
+    cur = polys[:, 1:, :, :]
+    if conservative:
+        d = (positions[:, 1:, :2] - positions[:, :-1, :2])[:, :, None, :]
+        poly1 = jnp.concatenate([prev, cur - d], axis=2)  # (P, N-1, 2V, 2)
+        poly2 = jnp.concatenate([cur, prev + d], axis=2)
+    else:
+        poly1 = prev
+        poly2 = cur
+    Mv = poly1.shape[2]
+    points = jnp.concatenate([poly1, poly2], axis=2)  # (P, N-1, 2Mv, 2)
+
+    flat_pts = points.reshape(P * (N - 1), 2 * Mv, 2)
+    n_valid = jnp.full((P * (N - 1),), 2 * Mv, jnp.int32)
+    hulls, n_hull = convex_hull_batch(flat_pts, n_valid)
+    Mh = hulls.shape[1]
+
+    mids = 0.5 * (positions[:, 1:, :2] + positions[:, :-1, :2]).reshape(
+        P * (N - 1), 2
+    )
+    seg_ok, seg_trav, _ = check_polygons(state, hulls, n_hull, mids, window)
+    seg_ok = seg_ok.reshape(P, N - 1)
+    seg_trav = seg_trav.reshape(P, N - 1)
+
+    hull_area = jax.vmap(polygon_area)(hulls, n_hull).reshape(P, N - 1)
+    # grid_map getArea over polygon1's stored vertex order
+    poly1_flat = poly1.reshape(P * (N - 1), Mv, 2)
+    poly1_area = jax.vmap(polygon_area, in_axes=(0, None))(poly1_flat, Mv).reshape(
+        P, N - 1
+    )
+
+    seg_valid = jnp.arange(1, N)[None, :] < n_poses[:, None]  # (P, N-1)
+    multi_ok = jnp.all(seg_ok | ~seg_valid, axis=-1)
+
+    # area-weighted running aggregation (TraversabilityMap.cpp:569-578):
+    # i == 1: area = hullArea; trav = segTrav
+    # i  > 1: areaNew = hullArea_i - poly1Area_i; area += areaNew;
+    #         trav = (areaNew * segTrav_i + areaPrev * trav) / area
+    first_w = hull_area[:, 0]
+    later_w = hull_area[:, 1:] - poly1_area[:, 1:]
+    weights = jnp.concatenate([first_w[:, None], later_w], axis=1)
+    weights = jnp.where(seg_valid, weights, 0.0)
+    total_area = jnp.sum(weights, axis=-1)
+    trav_multi = jnp.sum(weights * seg_trav, axis=-1) / jnp.where(
+        total_area != 0.0, total_area, 1.0
+    )
+
+    is_single = n_poses == 1
+    safe = jnp.where(is_single, ok1, multi_ok) & (n_poses >= 1)
+    trav = jnp.where(is_single, jnp.where(ok1, trav1, 0.0), trav_multi)
+    area = jnp.where(is_single, jnp.where(ok1, area1, 0.0), total_area)
+    trav = jnp.where(safe, trav, 0.0)
+    area = jnp.where(safe | is_single, area, 0.0)
+    return safe, trav, area
+
+
+def polygon_window_cells(
+    footprint: np.ndarray,
+    max_segment_length: float,
+    resolution: float,
+    conservative: bool = False,
+) -> int:
+    """Static raster window size covering any consecutive-footprint hull."""
+    circum = float(np.max(np.linalg.norm(np.asarray(footprint), axis=1)))
+    reach = circum + (1.5 if conservative else 0.5) * max_segment_length
+    return 2 * int(math.ceil(reach / resolution)) + 3

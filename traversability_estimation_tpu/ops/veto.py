@@ -1,0 +1,220 @@
+"""Dense per-cell veto fields — the reference's lazy query caches, inverted.
+
+The reference answers footprint queries through a veto cascade
+``isTraversableForFilters`` (slope -> step -> roughness,
+/root/reference/traversability_estimation/src/TraversabilityMap.cpp:774-921)
+computed lazily per queried cell and memoized into ``*_footprint`` layers.
+Each cell's verdict is a pure function of the map layers, so on TPU we compute
+the whole field densely, once per map update: every window scan becomes a
+static-offset shifted reduction and the step filter's data-dependent gap walk
+becomes a bounded set of ray analyses (8 directions x <= ceil(max_gap/res)
+steps) evaluated for all cells at once. Queries then reduce to gathers over
+boolean planes.
+
+Dense != lazy only in WHEN work happens; per-cell verdicts are identical
+(validated cell-by-cell against the oracle's faithful lazy implementation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from traversability_estimation_tpu.grid.geometry import circle_offsets
+from traversability_estimation_tpu.ops.filters import _shifted
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class VetoConfig:
+    resolution: float
+    critical_step_height: float = 0.12  # stepFilter critical_value (robot_filter_parameter.yaml)
+    max_gap_width: float = 0.3  # robot.yaml max_gap_width
+    check_roughness: bool = False  # footprint/verify_roughness_footprint
+
+    @property
+    def slope_n_critical(self) -> int:
+        # TraversabilityMap.cpp:871-873
+        window_radius = 3.0 * self.resolution
+        critical_length = self.max_gap_width / 3.0
+        return math.floor(2.0 * window_radius * critical_length / self.resolution**2)
+
+    @property
+    def roughness_n_critical(self) -> int:
+        # TraversabilityMap.cpp:899-901 (factor 1.5)
+        window_radius = 3.0 * self.resolution
+        critical_length = self.max_gap_width / 3.0
+        return math.floor(1.5 * window_radius * critical_length / self.resolution**2)
+
+
+def _count_veto_ok(layer: Array, resolution: float, n_critical: int) -> Array:
+    """checkForSlope/checkForRoughness pattern: a zero cell fails iff the
+    count of zero cells in a 3*res circle exceeds n_critical."""
+    is_zero = layer == 0.0  # NaN compares False
+    count = jnp.zeros(layer.shape, jnp.int32)
+    for di, dj in circle_offsets(3.0 * resolution, resolution).tolist():
+        count = count + _shifted(is_zero, di, dj, False).astype(jnp.int32)
+    fail = is_zero & (count > n_critical)
+    return ~fail
+
+
+def _ray_directions(cfg: VetoConfig) -> List[Tuple[int, int, int]]:
+    """(di, dj, K) for the 8 submap walk directions; K = number of line cells
+    beyond the candidate (walk end offset = K * d). Mirrors the C++ walk bound
+    ``(k+1)*|vec| < max_gap_width`` with |vec| = |d| * res
+    (TraversabilityMap.cpp:829-834). Directions with |d|*res < 0.025 are
+    skipped by the reference's minimum-vector guard."""
+    out = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            step_len = math.hypot(di, dj) * cfg.resolution
+            if step_len < 0.025:
+                continue
+            k = max(1, math.ceil(cfg.max_gap_width / step_len - 1e-12) - 1)
+            out.append((di, dj, k))
+    return out
+
+
+def step_veto_ok(elevation: Array, step_layer: Array, cfg: VetoConfig) -> Array:
+    """checkForStep (TraversabilityMap.cpp:794-865) as a dense field.
+
+    Per cell q with step == 0: candidate cells c in a 2.5*res circle that are
+    higher than q by the critical step (fallback: q itself); per candidate, 8
+    bounded ray walks relative to the candidate's elevation; a ray FAILS on a
+    blocking wall before the gap closes, or on a gap that never closes within
+    max_gap_width. q is untraversable iff any active (candidate, ray) fails.
+    """
+    elev = elevation.astype(jnp.float32)
+    valid = jnp.isfinite(elev)
+    step0 = step_layer == 0.0
+    crit = jnp.float32(cfg.critical_step_height)
+    in_map = jnp.ones(elev.shape, dtype=bool)
+
+    dirs = _ray_directions(cfg)
+
+    # --- per-cell, per-direction ray analysis (thresholds rel. to own cell) -
+    ray_fail = []
+    ray_trigger = []
+    for di, dj, K in dirs:
+        h = elev
+        # direction triggers iff neighbor (the submap drop cell) exists, has
+        # step == 0, and is lower than the candidate by > critical
+        nb_elev = _shifted(elev, di, dj, jnp.nan)
+        nb_in = _shifted(in_map, di, dj, False)
+        nb_step0 = _shifted(step0, di, dj, False)
+        trigger = nb_in & nb_step0 & (nb_elev < h - crit)
+
+        gap_started = jnp.zeros(elev.shape, dtype=bool)
+        ended = jnp.zeros(elev.shape, dtype=bool)
+        wall_fail = jnp.zeros(elev.shape, dtype=bool)
+        any_gap = jnp.zeros(elev.shape, dtype=bool)
+        for t in range(1, K + 1):
+            e_t = _shifted(elev, di * t, dj * t, jnp.nan)
+            t_in = _shifted(in_map, di * t, dj * t, False)
+            active = t_in  # walk stops at the map edge; rays are prefix-closed
+            wall_t = active & (e_t > h + crit)
+            gap_t = active & ((e_t < h - crit) | ~jnp.isfinite(e_t))
+            mid_t = active & ~wall_t & ~gap_t
+            end_t = mid_t & gap_started & ~ended
+            # wall cells checked only until the loop breaks at the gap end
+            wall_fail = wall_fail | (wall_t & ~ended)
+            any_gap = any_gap | (gap_t & ~ended)
+            gap_started = gap_started | gap_t
+            ended = ended | end_t
+        unclosed = any_gap & ~ended
+        ray_fail.append(trigger & (wall_fail | unclosed))
+        ray_trigger.append(trigger)
+
+    ray_fail_any = jnp.stack(ray_fail, axis=0)  # (D, H, W)
+
+    # --- candidate window combine ---------------------------------------
+    cand_offs = circle_offsets(2.5 * cfg.resolution, cfg.resolution)
+    has_cand = jnp.zeros(elev.shape, dtype=bool)
+    fail_from_cand = jnp.zeros(elev.shape, dtype=bool)
+    for o in cand_offs.tolist():
+        oi, oj = int(o[0]), int(o[1])
+        c_elev = _shifted(elev, oi, oj, jnp.nan)
+        c_in = _shifted(in_map, oi, oj, False)
+        c_step0 = _shifted(step0, oi, oj, False)
+        active = c_in & c_step0 & (c_elev > elev + crit)
+        has_cand = has_cand | active
+        # allowed walk directions: toCenter . vec >= 0  <=>  o . d <= 0
+        # (position axes are index axes negated); the filter is skipped when
+        # |toCenter| = |o|*res <= 0.025 (TraversabilityMap.cpp:830-831)
+        to_center_small = math.hypot(oi, oj) * cfg.resolution <= 0.025
+        fail_d = jnp.zeros(elev.shape, dtype=bool)
+        for d_idx, (di, dj, _) in enumerate(dirs):
+            if not to_center_small and (oi * di + oj * dj) > 0:
+                continue
+            fail_d = fail_d | _shifted(ray_fail_any[d_idx], oi, oj, False)
+        fail_from_cand = fail_from_cand | (active & fail_d)
+
+    # self-fallback (no candidate): all directions allowed, relative to self
+    fail_self = jnp.zeros(elev.shape, dtype=bool)
+    for d_idx in range(len(dirs)):
+        fail_self = fail_self | ray_fail_any[d_idx]
+
+    fail = step0 & jnp.where(has_cand, fail_from_cand, fail_self)
+    return ~fail
+
+
+def compute_veto_fields(
+    layers: Dict[str, Array], cfg: VetoConfig
+) -> Dict[str, Array]:
+    """All veto fields + the combined traversable mask, densely.
+
+    Input layers: elevation, traversability_slope, traversability_step
+    (+ traversability_roughness when cfg.check_roughness).
+
+    Returns boolean planes slope_ok / step_ok / (roughness_ok) /
+    traversable_mask, plus float ``*_footprint`` layers with reference parity
+    (1.0 pass, 0.0 fail, NaN where the reference would never compute them —
+    i.e. where the corresponding layer is nonzero).
+    """
+    res = cfg.resolution
+    slope_ok = _count_veto_ok(
+        layers["traversability_slope"], res, cfg.slope_n_critical
+    )
+    step_ok = step_veto_ok(layers["elevation"], layers["traversability_step"], cfg)
+    out: Dict[str, Array] = {"slope_ok": slope_ok, "step_ok": step_ok}
+    mask = slope_ok & step_ok
+    if cfg.check_roughness:
+        rough_ok = _count_veto_ok(
+            layers["traversability_roughness"], res, cfg.roughness_n_critical
+        )
+        out["roughness_ok"] = rough_ok
+        mask = mask & rough_ok
+    out["traversable_mask"] = mask
+
+    nan = jnp.float32(jnp.nan)
+    out["slope_footprint"] = jnp.where(
+        layers["traversability_slope"] == 0.0,
+        slope_ok.astype(jnp.float32),
+        nan,
+    )
+    out["step_footprint"] = jnp.where(
+        layers["traversability_step"] == 0.0,
+        step_ok.astype(jnp.float32),
+        nan,
+    )
+    if cfg.check_roughness:
+        out["roughness_footprint"] = jnp.where(
+            layers["traversability_roughness"] == 0.0,
+            out["roughness_ok"].astype(jnp.float32),
+            nan,
+        )
+    return out
+
+
+@partial(jax.jit, static_argnums=(1,))
+def compute_veto_fields_jit(layers: Dict[str, Array], cfg: VetoConfig):
+    return compute_veto_fields(layers, cfg)
