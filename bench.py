@@ -1,0 +1,195 @@
+"""Benchmark: batched footprint checks/sec on one TPU chip vs reference CPU.
+
+Workload = BASELINE.json config 3: ~1k circular footprint paths x 50 poses
+over a 10m x 10m rough-terrain map at 0.03 m resolution (full chain + dense
+veto precompute, then batched spiral-parity circle checks).
+
+Baseline = single-thread reference semantics on this host's CPU. A native C++
+baseline (csrc/) is used when built; otherwise the NumPy/Python oracle's
+steady-state per-check rate stands in (marked in the metric name).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "checks/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic_terrain(rows, cols, resolution, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.arange(rows)[:, None] * resolution
+    y = np.arange(cols)[None, :] * resolution
+    # mostly-traversable rolling terrain with a hard step edge and holes —
+    # planners query maps they can mostly drive on; an all-blocked map would
+    # let every check fail at the first spiral cell (flattering both engines)
+    z = (
+        0.15 * np.sin(2.0 * x) * np.cos(1.5 * y)
+        + 0.012 * rng.standard_normal((rows, cols))
+        + 0.3 * ((x > x.mean()) & (y > y.mean()))
+        + 0.05 * x
+    )
+    z[rng.random((rows, cols)) < 0.01] = np.nan
+    return z.astype(np.float32)
+
+
+def make_paths(rng, P, N, extent, step=0.06):
+    starts = np.stack(
+        [rng.uniform(-extent, extent, P), rng.uniform(-extent, extent, P)], axis=-1
+    )
+    steps = rng.uniform(-step, step, size=(P, N - 1, 2))
+    poses = np.concatenate(
+        [starts[:, None, :], starts[:, None, :] + np.cumsum(steps, axis=1)], axis=1
+    ).astype(np.float32)
+    return poses
+
+
+def measure_baseline_checks_per_sec(layers, res, seed=7):
+    """Single-thread reference-semantics circle checks on the host CPU.
+
+    Prefers the native C++ baseline (csrc/reference_baseline.cpp, exact
+    reference semantics, memo caches warm across the epoch — i.e. the
+    strongest honest stand-in for the original C++ node); falls back to the
+    Python oracle when not built."""
+    rng = np.random.default_rng(seed)
+    H, W = layers["elevation"].shape
+    extent = min(H, W) * res / 2 * 0.8
+
+    def centers(n):
+        return np.stack(
+            [rng.uniform(-extent, extent, n), rng.uniform(-extent, extent, n)],
+            axis=-1,
+        )
+
+    try:
+        from traversability_estimation_tpu.utils import native
+
+        eng = native.BaselineQueryEngine(
+            layers, res, critical_step_height=0.12, max_gap_width=0.3,
+            default_traversability=0.5,
+        )
+        eng.check_circles(centers(2000), 0.45, 0.3)  # warm memo caches
+        n = 50000
+        cs = centers(n)
+        t0 = time.perf_counter()
+        eng.check_circles(cs, 0.45, 0.3)
+        dt = time.perf_counter() - t0
+        log("baseline engine: native C++ (single thread)")
+        return n / dt
+    except Exception as e:  # NativeUnavailable or load failure
+        log(f"native baseline unavailable ({e}); using python oracle")
+        from traversability_estimation_tpu.oracle.footprint import OracleMap
+
+        om = OracleMap(
+            layers, res, (0.0, 0.0), critical_step_height=0.12,
+            max_gap_width=0.3, traversability_default=0.5, check_roughness=False,
+        )
+        cs = centers(60)
+        for c in cs[:10]:
+            om.is_traversable_circle(c, 0.45, 0.3)
+        t0 = time.perf_counter()
+        for c in cs[10:]:
+            om.is_traversable_circle(c, 0.45, 0.3)
+        return 50 / (time.perf_counter() - t0)
+
+
+def main():
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from traversability_estimation_tpu.models import TraversabilityEstimator
+    from traversability_estimation_tpu.utils.config import EstimatorConfig
+
+    log("devices:", jax.devices())
+    res = 0.03
+    H = W = 336  # ~10m x 10m
+    elev = synthetic_terrain(H, W, res, seed=1)
+
+    est = TraversabilityEstimator(EstimatorConfig(resolution=res))
+    t0 = time.perf_counter()
+    est.update(elev)
+    t_update_first = time.perf_counter() - t0
+    log(f"first update (incl. compile): {t_update_first:.1f}s")
+    # amortized steady state: async dispatch of R calls, one barrier at the
+    # end (hides the tunnel's fixed per-call latency, measures device time)
+    from traversability_estimation_tpu.models.estimator import _update_step
+    import jax.numpy as jnp
+
+    elev_dev = jnp.asarray(elev)
+    ccfg, vcfg = est.config.chain, est.config.veto
+    _update_step(elev_dev, ccfg, vcfg)  # warm
+    R = 10
+    t0 = time.perf_counter()
+    outs = [_update_step(elev_dev, ccfg, vcfg) for _ in range(R)]
+    jax.block_until_ready(outs)
+    t_update = (time.perf_counter() - t0) / R
+    log(f"map update steady: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
+
+    rng = np.random.default_rng(3)
+    P, N = 1024, 50
+    extent = H * res / 2 * 0.8
+    poses = make_paths(rng, P, N, extent)
+    n_poses = np.full((P,), N, np.int32)
+
+    radius = 0.3
+    t0 = time.perf_counter()
+    safe, trav = est.check_circular_paths_batch(poses, n_poses, radius)
+    jax.block_until_ready((safe, trav))
+    log(f"first path batch (incl. compile): {time.perf_counter()-t0:.1f}s")
+    reps = 10
+    t0 = time.perf_counter()
+    outs = [est.check_circular_paths_batch(poses, n_poses, radius) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
+    safe, trav = outs[-1]
+    checks = P * N
+    checks_per_sec = checks / dt
+    log(
+        f"path batch steady: {dt*1e3:.2f} ms for {P} paths x {N} poses "
+        f"-> {checks_per_sec:,.0f} pose-checks/s (safe {int(np.asarray(safe).sum())}/{P})"
+    )
+
+    layers = {
+        k: np.asarray(v)
+        for k, v in est.traversability_map.layers.items()
+        if k
+        in (
+            "elevation",
+            "traversability",
+            "traversability_slope",
+            "traversability_step",
+            "traversability_roughness",
+        )
+    }
+    baseline = measure_baseline_checks_per_sec(layers, res)
+    log(f"baseline (single-thread oracle): {baseline:,.1f} checks/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "circular footprint pose-checks/s, 1 chip (baseline: single-thread reference-semantics oracle on host CPU)",
+                "value": round(checks_per_sec, 1),
+                "unit": "checks/s",
+                "vs_baseline": round(checks_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

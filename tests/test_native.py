@@ -1,0 +1,66 @@
+"""Native (C++) components: reference baseline engine + fast bag reader."""
+
+import numpy as np
+import pytest
+
+from traversability_estimation_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native libs not built (csrc/build.sh)"
+)
+
+
+def test_native_chain_matches_oracle(terrain):
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.oracle import filters as OF
+
+    res = 0.03
+    elev = terrain(48, 48, res, seed=51, nan_frac=0.08)
+    nat = native.baseline_run_chain(elev, res, ChainConfig(resolution=res))
+    ref = OF.run_chain(elev, res, OF.DEFAULT_CHAIN_CONFIG, (0.0, 0.0))
+    for k in ("traversability_slope", "traversability_step", "traversability_roughness"):
+        a, b = nat[k], ref[k]
+        assert (np.isfinite(a) == np.isfinite(b)).all(), k
+        both = np.isfinite(a) & np.isfinite(b)
+        np.testing.assert_allclose(a[both], b[both], atol=1e-6, err_msg=k)
+
+
+def test_native_circles_match_oracle(golden_map, rng):
+    from traversability_estimation_tpu.oracle.footprint import OracleMap
+
+    layers = {
+        k: golden_map.data[k]
+        for k in (
+            "elevation",
+            "traversability",
+            "traversability_slope",
+            "traversability_step",
+        )
+    }
+    eng = native.BaselineQueryEngine(layers, golden_map.resolution)
+    centers = np.stack(
+        [rng.uniform(-1.2, 1.2, 80), rng.uniform(-1.7, 1.7, 80)], axis=-1
+    )
+    ok, trav = eng.check_circles(centers, 0.45, 0.3)
+    for b in range(80):
+        om = OracleMap(
+            layers, golden_map.resolution, (0.0, 0.0),
+            critical_step_height=0.12, max_gap_width=0.3,
+            traversability_default=0.5, check_roughness=False,
+        )
+        o_ok, o_trav, _ = om.is_traversable_circle(centers[b], 0.45, 0.3)
+        assert bool(ok[b]) == o_ok, f"center {centers[b]}"
+        if o_ok:
+            assert trav[b] == pytest.approx(o_trav, abs=1e-5)
+    assert ok.sum() > 0 and (~ok).sum() > 0
+
+
+def test_native_bag_reader_matches_python(golden_map):
+    from tests.conftest import GOLDEN_ELEVATION_BAG
+
+    msg = native.load_grid_map_bag_native(GOLDEN_ELEVATION_BAG)
+    assert msg.size == golden_map.size
+    assert msg.resolution == golden_map.resolution
+    assert set(msg.layers) == set(golden_map.layers)
+    for k in ("elevation", "traversability"):
+        np.testing.assert_array_equal(msg.data[k], golden_map.data[k])

@@ -137,7 +137,11 @@ def check_circles(
         dtype=jnp.float32,
     )
 
-    centers = jnp.asarray(centers, jnp.float32)
+    centers_in = jnp.asarray(centers, jnp.float32)
+    batch_shape = centers_in.shape[:-1]
+    # flatten the batch: high-rank (P, S, ..., K) intermediates get padded
+    # tiled layouts on TPU that blow up memory; (B, K) tiles cleanly
+    centers = centers_in.reshape(-1, 2)
     idx = _index_of(state, centers)  # (..., 2)
     cells = idx[..., None, :] + offs  # (..., K, 2)
 
@@ -205,7 +209,7 @@ def check_circles(
     inside = _is_inside(state, centers)
     ok = jnp.where(inside, ok, default != 0.0)
     trav = jnp.where(inside, trav, default)
-    return ok, trav
+    return ok.reshape(batch_shape), trav.reshape(batch_shape)
 
 
 def traversability_footprint_circles(
@@ -214,15 +218,100 @@ def traversability_footprint_circles(
     """Dense per-cell circular footprint scores: the
     ``traversability_footprint`` service layer (TraversabilityMap.cpp:307-318).
     Returns (H, W) float32: score where traversable, 0.0 where not."""
-    rows, cols = state.shape
-    ii, jj = jnp.meshgrid(
-        jnp.arange(rows, dtype=jnp.int32),
-        jnp.arange(cols, dtype=jnp.int32),
-        indexing="ij",
-    )
-    centers = _position_of(state, jnp.stack([ii, jj], axis=-1))
-    ok, trav = check_circles(state, centers, radius + offset, radius)
+    ok, trav = dense_circle_field(state, radius + offset, radius)
     return jnp.where(ok, trav, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dense per-cell circle field (the reference's memo layer, batch-computed)
+# ---------------------------------------------------------------------------
+
+
+def dense_circle_field(
+    state: QueryState, radius_max: float, radius_min: float
+) -> Tuple[Array, Array]:
+    """Per-cell circular footprint verdict for a query centered at each CELL
+    CENTER — the dense realization of the reference's ``traversability_footprint``
+    memo layer (TraversabilityMap.cpp:673-678,734: the cache is per-cell, and
+    path queries always probe at cell centers via LineIterator+getPosition).
+
+    Computed with ZERO gathers: a ``lax.scan`` over the static spiral offset
+    order, each step reading a shifted plane via dynamic_slice of a padded
+    buffer — the whole map's spiral scans advance in lockstep.
+
+    Returns (ok (H, W) bool, trav (H, W) f32).
+    """
+    res = state.resolution
+    offs_np, rings_np = spiral_order(radius_max, res)
+    n_rings = int(math.ceil(radius_max / res - 1e-12))
+    # queries at cell centers: the outer-ring Euclidean re-check is static per
+    # offset -> drop excluded offsets from the order entirely
+    keep = np.ones(len(offs_np), dtype=bool)
+    outer = rings_np >= max(n_rings - 1, 0)
+    d2 = np.sum(offs_np.astype(np.float64) ** 2, axis=1) * res * res
+    keep[outer] = d2[outer] <= radius_max * radius_max
+    offs_np = offs_np[keep]
+    radii_np = np.sqrt(np.sum(offs_np.astype(np.float64) ** 2, axis=1)) * res
+
+    H, W = state.shape
+    R = int(np.max(np.abs(offs_np))) if len(offs_np) else 0
+    fail_plane = ~state.traversable_mask
+    tv = jnp.where(
+        jnp.isfinite(state.traversability),
+        state.traversability,
+        state.default_traversability,
+    )
+    pad_fail = jnp.pad(fail_plane, R, constant_values=False)
+    pad_pass = jnp.pad(
+        (~fail_plane).astype(jnp.float32), R, constant_values=0.0
+    )
+    pad_tv = jnp.pad(tv * (~fail_plane), R, constant_values=0.0)
+    pad_in = jnp.pad(jnp.ones((H, W), jnp.float32), R, constant_values=0.0)
+
+    offs = jnp.asarray(offs_np, jnp.int32)
+    radii = jnp.asarray(radii_np, jnp.float32)
+
+    def step(carry, xs):
+        found, r_fail, cnt_b, sum_b, cnt, ssum = carry
+        off, r_k = xs
+        oi = off[0] + R
+        oj = off[1] + R
+        sl = lambda p: jax.lax.dynamic_slice(p, (oi, oj), (H, W))
+        inm = sl(pad_in) > 0.5
+        fail_k = sl(pad_fail) & inm
+        pass_k = sl(pad_pass)
+        tv_k = sl(pad_tv)
+        new_fail = fail_k & ~found
+        r_fail = jnp.where(new_fail, r_k, r_fail)
+        cnt_b = jnp.where(new_fail, cnt, cnt_b)
+        sum_b = jnp.where(new_fail, ssum, sum_b)
+        found = found | fail_k
+        cnt = cnt + pass_k * inm
+        ssum = ssum + tv_k * inm
+        return (found, r_fail, cnt_b, sum_b, cnt, ssum), None
+
+    z = jnp.zeros((H, W), jnp.float32)
+    init = (jnp.zeros((H, W), bool), z, z, z, z, z)
+    (found, r_fail, cnt_b, sum_b, cnt, ssum), _ = jax.lax.scan(
+        step, init, (offs, radii)
+    )
+
+    mean_all = ssum / jnp.maximum(cnt, 1.0)
+    default = jnp.float32(state.default_traversability)
+    if radius_min == 0.0:
+        ok = ~found
+        trav = jnp.where(ok, mean_all, 0.0)
+    else:
+        hard = found & (r_fail <= radius_min)
+        inflate = found & (r_fail > radius_min)
+        factor = ((r_fail - radius_min) / (radius_max - radius_min) + 1.0) / 2.0
+        mean_b = sum_b / jnp.maximum(cnt_b, 1.0)
+        ok = ~hard
+        trav = jnp.where(inflate, mean_b * factor, jnp.where(hard, 0.0, mean_all))
+    empty = (cnt == 0.0) & ~found
+    ok = jnp.where(empty, default != 0.0, ok)
+    trav = jnp.where(empty, default, trav)
+    return ok, trav.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +344,12 @@ def check_circular_paths(
         return safe, jnp.where(ok1, trav1, 0.0)
 
     # --- multi-pose: per segment, stride-4 line sampling ------------------
+    # Path samples are always CELL CENTERS (LineIterator + getPosition), so
+    # the per-cell dense circle field answers every sample with one lookup —
+    # the reference's memo layer philosophy, computed as a gather-free stencil
+    # scan once per (map, radius).
+    field_ok, field_trav = dense_circle_field(state, radius + offset, radius)
+
     starts = poses[:, :-1, :]  # (P, N-1, 2)
     ends = poses[:, 1:, :]
     seg_valid = (jnp.arange(1, N)[None, :] < n_poses[:, None])  # (P, N-1)
@@ -271,8 +366,9 @@ def check_circular_paths(
     s_cells = cells[..., sample_ids, :]  # (P, N-1, S, 2)
     s_valid = cell_valid[..., sample_ids]  # (P, N-1, S)
 
-    s_centers = _position_of(state, s_cells)
-    ok_s, trav_s = check_circles(state, s_centers, radius + offset, radius)
+    default = jnp.float32(state.default_traversability)
+    ok_s, _ = _gather_plane(field_ok, s_cells, default != 0.0)
+    trav_s, _ = _gather_plane(field_trav, s_cells, default)
 
     s_active = s_valid & seg_valid[..., None]
     seg_ok = jnp.all(ok_s | ~s_active, axis=-1)  # (P, N-1)

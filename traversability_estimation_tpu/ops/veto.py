@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +84,12 @@ def _ray_directions(cfg: VetoConfig) -> List[Tuple[int, int, int]]:
     return out
 
 
-def step_veto_ok(elevation: Array, step_layer: Array, cfg: VetoConfig) -> Array:
+def step_veto_ok(
+    elevation: Array,
+    step_layer: Array,
+    cfg: VetoConfig,
+    in_map: Optional[Array] = None,
+) -> Array:
     """checkForStep (TraversabilityMap.cpp:794-865) as a dense field.
 
     Per cell q with step == 0: candidate cells c in a 2.5*res circle that are
@@ -92,12 +97,19 @@ def step_veto_ok(elevation: Array, step_layer: Array, cfg: VetoConfig) -> Array:
     bounded ray walks relative to the candidate's elevation; a ray FAILS on a
     blocking wall before the gap closes, or on a gap that never closes within
     max_gap_width. q is untraversable iff any active (candidate, ray) fails.
+
+    `in_map` marks cells inside the GLOBAL map (all True for an unsharded
+    map). Needed because out-of-map cells terminate the reference's gap walk
+    rather than reading as invalid ("gap") cells — on a sharded tile the halo
+    contains real out-of-tile data plus out-of-global padding, and only the
+    latter must stop the walk.
     """
     elev = elevation.astype(jnp.float32)
     valid = jnp.isfinite(elev)
     step0 = step_layer == 0.0
     crit = jnp.float32(cfg.critical_step_height)
-    in_map = jnp.ones(elev.shape, dtype=bool)
+    if in_map is None:
+        in_map = jnp.ones(elev.shape, dtype=bool)
 
     dirs = _ray_directions(cfg)
 
@@ -168,7 +180,7 @@ def step_veto_ok(elevation: Array, step_layer: Array, cfg: VetoConfig) -> Array:
 
 
 def compute_veto_fields(
-    layers: Dict[str, Array], cfg: VetoConfig
+    layers: Dict[str, Array], cfg: VetoConfig, in_map: Optional[Array] = None
 ) -> Dict[str, Array]:
     """All veto fields + the combined traversable mask, densely.
 
@@ -184,7 +196,9 @@ def compute_veto_fields(
     slope_ok = _count_veto_ok(
         layers["traversability_slope"], res, cfg.slope_n_critical
     )
-    step_ok = step_veto_ok(layers["elevation"], layers["traversability_step"], cfg)
+    step_ok = step_veto_ok(
+        layers["elevation"], layers["traversability_step"], cfg, in_map
+    )
     out: Dict[str, Array] = {"slope_ok": slope_ok, "step_ok": step_ok}
     mask = slope_ok & step_ok
     if cfg.check_roughness:
