@@ -69,6 +69,7 @@ class TraversabilityEstimator:
         self.config = config or EstimatorConfig()
         self._map: Optional[GridMap] = None
         self._query_state: Optional[fp_ops.QueryState] = None
+        self._field_cache: Dict[tuple, tuple] = {}  # (radius, offset) -> field
         self._elevation: Optional[jnp.ndarray] = None
         self._position = np.zeros(2, dtype=np.float32)
         self._traversability_default = self.config.footprint.traversability_default
@@ -109,6 +110,42 @@ class TraversabilityEstimator:
             img = img / 255.0
         elev = min_height + img * (max_height - min_height)
         return self.set_elevation_map(elev, position)
+
+    def merge_submap(self, patch: np.ndarray, center_xy) -> bool:
+        """Merge a robot-centric elevation submap into the persistent map —
+        the ingest analog of requestElevationMap
+        (TraversabilityEstimation.cpp:248-270), for the online-update loop
+        (BASELINE config 4: incremental submap refresh). The patch is placed
+        by world position; cells outside the global map are dropped."""
+        if self._elevation is None:
+            return False
+        patch = np.asarray(patch, np.float32)
+        res = self.config.chain.resolution
+        H, W = self._elevation.shape
+        ph, pw = patch.shape
+        half = np.array([H, W]) * res / 2.0
+        i0 = int(
+            np.floor((self._position[0] + half[0] - (center_xy[0] + ph * res / 2)) / res)
+        )
+        j0 = int(
+            np.floor((self._position[1] + half[1] - (center_xy[1] + pw * res / 2)) / res)
+        )
+        si0, sj0 = max(i0, 0), max(j0, 0)
+        si1, sj1 = min(i0 + ph, H), min(j0 + pw, W)
+        if si1 <= si0 or sj1 <= sj0:
+            return False
+        clipped = patch[si0 - i0 : si1 - i0, sj0 - j0 : sj1 - j0]
+        self._elevation = jax.lax.dynamic_update_slice(
+            self._elevation, jnp.asarray(clipped), (si0, sj0)
+        )
+        return True
+
+    def update_with_submap(self, patch: np.ndarray, center_xy) -> bool:
+        """One online tick: merge the fresh submap, re-run the device update
+        (the reference's timer callback, TraversabilityEstimation.cpp:170)."""
+        if not self.merge_submap(patch, center_xy):
+            return False
+        return self.update()
 
     # ------------------------------------------------------------------
     # update (computeTraversability)
@@ -157,6 +194,9 @@ class TraversabilityEstimator:
             resolution=self.config.chain.resolution,
             default_traversability=self._traversability_default,
         )
+        # new map epoch invalidates cached dense circle fields (the analog of
+        # the reference re-adding NaN memo layers, TraversabilityMap.cpp:225)
+        self._field_cache.clear()
         self.initialized = True
         return True
 
@@ -217,9 +257,11 @@ class TraversabilityEstimator:
             poses[b, len(pp) :] = pp[-1]
             n_poses[b] = len(pp)
         max_cells = self._max_segment_cells(poses, n_poses)
+        field = self._circle_field(float(radius), float(offset))
+        has_single = bool(np.any(n_poses <= 1))
         safe, trav = _circular_paths_jit(
             self.query_state, jnp.asarray(poses), jnp.asarray(n_poses),
-            float(radius), float(offset), int(max_cells),
+            float(radius), float(offset), int(max_cells), field, has_single,
         )
         safe = np.asarray(safe)
         trav = np.asarray(trav)
@@ -275,11 +317,23 @@ class TraversabilityEstimator:
     ):
         offset = self.config.footprint.circular_footprint_offset
         max_cells = self._max_segment_cells(poses, n_poses)
+        field = self._circle_field(float(radius), float(offset))
+        has_single = bool(np.any(np.asarray(n_poses) <= 1))
         return _circular_paths_jit(
             self.query_state, jnp.asarray(poses, jnp.float32),
             jnp.asarray(n_poses, jnp.int32), float(radius), float(offset),
-            int(max_cells),
+            int(max_cells), field, has_single,
         )
+
+    def _circle_field(self, radius: float, offset: float):
+        """Dense circle field cached per map epoch (the reference's
+        traversability_footprint memo cache, computed batch-dense)."""
+        key = (radius, offset)
+        if key not in self._field_cache:
+            self._field_cache[key] = _circle_field_jit(
+                self.query_state, radius + offset, radius
+            )
+        return self._field_cache[key]
 
     def check_polygonal_paths_batch(
         self,
@@ -464,9 +518,18 @@ def _update_step(elevation, chain_cfg: chain_ops.ChainConfig, veto_cfg: veto_ops
     return layers
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _circular_paths_jit(state, poses, n_poses, radius, offset, max_cells):
-    return fp_ops.check_circular_paths(state, poses, n_poses, radius, offset, max_cells)
+@partial(jax.jit, static_argnums=(3, 4, 5, 7))
+def _circular_paths_jit(
+    state, poses, n_poses, radius, offset, max_cells, field=None, has_single=True
+):
+    return fp_ops.check_circular_paths(
+        state, poses, n_poses, radius, offset, max_cells, field, has_single
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _circle_field_jit(state, radius_max, radius_min):
+    return fp_ops.dense_circle_field(state, radius_max, radius_min)
 
 
 @partial(jax.jit, static_argnums=(5, 6))

@@ -33,8 +33,10 @@ from traversability_estimation_tpu.grid.geometry import circle_offsets
 
 Array = jnp.ndarray
 
-_NEG = jnp.float32(-3.0e38)
-_POS = jnp.float32(3.0e38)
+# plain Python floats: jnp scalars here would become captured constants
+# inside Pallas kernel bodies that reuse this module's compute
+_NEG = float(np.float32(-3.0e38))
+_POS = float(np.float32(3.0e38))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,16 +68,23 @@ class ChainConfig:
 
 
 def _shifted(arr: Array, di: int, dj: int, fill) -> Array:
-    """Value of arr at index (i+di, j+dj), `fill` outside (static offsets)."""
+    """Value of arr at index (i+di, j+dj), `fill` outside (static offsets).
+
+    Implemented as pad + static slice (not scatter) so it traces cleanly both
+    under XLA and inside Pallas kernel bodies."""
+    if arr.dtype == jnp.bool_:
+        # Mosaic cannot pad/bitcast i1 vectors; shift a float mask instead
+        f = _shifted(arr.astype(jnp.float32), di, dj, 1.0 if fill else 0.0)
+        return f > 0.5
     rows, cols = arr.shape
-    out = jnp.full((rows, cols), fill, dtype=arr.dtype)
-    si0, si1 = max(di, 0), rows + min(di, 0)
-    sj0, sj1 = max(dj, 0), cols + min(dj, 0)
-    di0, di1 = max(-di, 0), rows + min(-di, 0)
-    dj0, dj1 = max(-dj, 0), cols + min(-dj, 0)
-    if si1 <= si0 or sj1 <= sj0:
-        return out
-    return out.at[di0:di1, dj0:dj1].set(arr[si0:si1, sj0:sj1])
+    if abs(di) >= rows or abs(dj) >= cols:
+        return jnp.full((rows, cols), fill, dtype=arr.dtype)
+    padded = jnp.pad(
+        arr,
+        ((max(-di, 0), max(di, 0)), (max(-dj, 0), max(dj, 0))),
+        constant_values=fill,
+    )
+    return padded[max(di, 0) : max(di, 0) + rows, max(dj, 0) : max(dj, 0) + cols]
 
 
 # ---------------------------------------------------------------------------
@@ -83,62 +92,75 @@ def _shifted(arr: Array, di: int, dj: int, fill) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def smallest_eigpair_sym3(A: Array, sweeps: int = 4) -> Tuple[Array, Array, Array]:
-    """Smallest eigenvalue + its eigenvector of symmetric 3x3 matrices.
+def smallest_eigvec_planes(c00, c01, c02, c11, c12, c22, sweeps: int = 4):
+    """Smallest-eigenpair of symmetric 3x3 matrices given as six coefficient
+    PLANES (any common shape). Returns (vx, vy, vz, eig_min, eig_mid).
 
-    A: (..., 3, 3) float32. Returns (eig_min, eig_mid, v_min), v_min unit
-    length. Cyclic Jacobi with a fixed rotation schedule (branchless, fully
-    vectorized over the batch): `sweeps` cycles over pivots (0,1),(0,2),(1,2)
-    reach float32 machine precision for these tiny well-scaled matrices.
+    Cyclic Jacobi, fixed schedule, fully branchless. Everything is expressed
+    on scalar planes — no (..., 3, 3) stacking — which is both faster on the
+    VPU and required for Mosaic (Pallas) lowering, whose vector layouts
+    reject small trailing-dim concatenates. No matmuls (the TPU bf16 matmul
+    default would stall convergence).
     """
-    dtype = A.dtype
-    V = jnp.broadcast_to(jnp.eye(3, dtype=dtype), A.shape)
+    a = {
+        (0, 0): c00, (0, 1): c01, (0, 2): c02,
+        (1, 1): c11, (1, 2): c12, (2, 2): c22,
+    }
+    one = jnp.ones_like(c00)
+    zero = jnp.zeros_like(c00)
+    v = {(i, j): (one if i == j else zero) for i in range(3) for j in range(3)}
 
-    def rotate(A, V, p, q):
-        # explicit plane-rotation update: no matmuls (JAX matmul default
-        # precision on TPU is bf16, which would stall convergence at ~3e-3)
-        k = 3 - p - q  # the untouched index
-        app = A[..., p, p]
-        aqq = A[..., q, q]
-        apq = A[..., p, q]
-        apk = A[..., p, k]
-        aqk = A[..., q, k]
-        akk = A[..., k, k]
-        # tan(2 theta) = 2 apq / (aqq - app); branchless stable rotation
-        tau = (aqq - app) / jnp.where(apq == 0.0, 1.0, 2.0 * apq)
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(tau == 0.0, 1.0, t)  # tau==0 -> theta = pi/4
-        t = jnp.where(apq == 0.0, 0.0, t)
-        c = 1.0 / jnp.sqrt(1.0 + t * t)
-        s = t * c
-        new_pp = c * c * app - 2.0 * s * c * apq + s * s * aqq
-        new_qq = s * s * app + 2.0 * s * c * apq + c * c * aqq
-        new_pk = c * apk - s * aqk
-        new_qk = s * apk + c * aqk
-        zero = jnp.zeros_like(app)
-        rows = {p: {p: new_pp, q: zero, k: new_pk},
-                q: {p: zero, q: new_qq, k: new_qk},
-                k: {p: new_pk, q: new_qk, k: akk}}
-        A = jnp.stack(
-            [jnp.stack([rows[i][j] for j in range(3)], axis=-1) for i in range(3)],
-            axis=-2,
-        )
-        vp = V[..., :, p]
-        vq = V[..., :, q]
-        ce, se = c[..., None], s[..., None]
-        vcols = {p: ce * vp - se * vq, q: se * vp + ce * vq, k: V[..., :, k]}
-        V = jnp.stack([vcols[j] for j in range(3)], axis=-1)
-        return A, V
+    def A(i, j):
+        return a[(i, j) if i <= j else (j, i)]
 
     for _ in range(sweeps):
         for p, q in ((0, 1), (0, 2), (1, 2)):
-            A, V = rotate(A, V, p, q)
+            k = 3 - p - q
+            app, aqq, apq = A(p, p), A(q, q), A(p, q)
+            apk, aqk = A(p, k), A(q, k)
+            # tan(2 theta) = 2 apq / (aqq - app); stable branchless rotation
+            tau = (aqq - app) / jnp.where(apq == 0.0, 1.0, 2.0 * apq)
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(tau == 0.0, 1.0, t)
+            t = jnp.where(apq == 0.0, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            a[(p, p) if p <= p else (p, p)] = (
+                c * c * app - 2.0 * s * c * apq + s * s * aqq
+            )
+            a[(q, q)] = s * s * app + 2.0 * s * c * apq + c * c * aqq
+            a[(p, q) if p <= q else (q, p)] = zero
+            new_pk = c * apk - s * aqk
+            new_qk = s * apk + c * aqk
+            a[(p, k) if p <= k else (k, p)] = new_pk
+            a[(q, k) if q <= k else (k, q)] = new_qk
+            for i in range(3):
+                vip, viq = v[(i, p)], v[(i, q)]
+                v[(i, p)] = c * vip - s * viq
+                v[(i, q)] = s * vip + c * viq
 
-    diag = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
-    order = jnp.argsort(diag, axis=-1)
-    eig_min = jnp.take_along_axis(diag, order[..., :1], axis=-1)[..., 0]
-    eig_mid = jnp.take_along_axis(diag, order[..., 1:2], axis=-1)[..., 0]
-    v = jnp.take_along_axis(V, order[..., None, :1], axis=-1)[..., 0]
+    d0, d1, d2 = a[(0, 0)], a[(1, 1)], a[(2, 2)]
+    is0 = (d0 <= d1) & (d0 <= d2)
+    is1 = (~is0) & (d1 <= d2)
+    eig_min = jnp.where(is0, d0, jnp.where(is1, d1, d2))
+    eig_max = jnp.maximum(d0, jnp.maximum(d1, d2))
+    eig_mid = d0 + d1 + d2 - eig_min - eig_max
+
+    def pick(i):
+        return jnp.where(is0, v[(i, 0)], jnp.where(is1, v[(i, 1)], v[(i, 2)]))
+
+    return pick(0), pick(1), pick(2), eig_min, eig_mid
+
+
+def smallest_eigpair_sym3(A: Array, sweeps: int = 4) -> Tuple[Array, Array, Array]:
+    """Matrix-form wrapper over ``smallest_eigvec_planes`` for (..., 3, 3)
+    inputs; returns (eig_min, eig_mid, v_min)."""
+    vx, vy, vz, eig_min, eig_mid = smallest_eigvec_planes(
+        A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+        A[..., 1, 1], A[..., 1, 2], A[..., 2, 2],
+        sweeps=sweeps,
+    )
+    v = jnp.stack([vx, vy, vz], axis=-1)
     return eig_min, eig_mid, v
 
 
@@ -193,31 +215,55 @@ def surface_normals(
 
     ns = jnp.maximum(n, 1.0)
     mx, my, mz = sx / ns, sy / ns, sz / ns
-    C = jnp.stack(
-        [
-            jnp.stack([sxx / ns - mx * mx, sxy / ns - mx * my, sxz / ns - mx * mz], -1),
-            jnp.stack([sxy / ns - mx * my, syy / ns - my * my, syz / ns - my * mz], -1),
-            jnp.stack([sxz / ns - mx * mz, syz / ns - my * mz, szz / ns - mz * mz], -1),
-        ],
-        axis=-2,
+    vx, vy, vz, _, eig_mid = smallest_eigvec_planes(
+        sxx / ns - mx * mx,
+        sxy / ns - mx * my,
+        sxz / ns - mx * mz,
+        syy / ns - my * my,
+        syz / ns - my * mz,
+        szz / ns - mz * mz,
     )
-    _, eig_mid, v = smallest_eigpair_sym3(C)
-    unit_z = jnp.array([0.0, 0.0, 1.0], dtype=jnp.float32)
     degenerate = eig_mid <= 1e-8
-    v = jnp.where(degenerate[..., None], unit_z, v)
-    v = jnp.where((v[..., 2] < 0.0)[..., None], -v, v)
+    vx = jnp.where(degenerate, 0.0, vx)
+    vy = jnp.where(degenerate, 0.0, vy)
+    vz = jnp.where(degenerate, 1.0, vz)
+    flip = vz < 0.0
+    vx = jnp.where(flip, -vx, vx)
+    vy = jnp.where(flip, -vy, vy)
+    vz = jnp.where(flip, -vz, vz)
     nan = jnp.float32(jnp.nan)
     return {
-        "surface_normal_x": jnp.where(valid, v[..., 0], nan),
-        "surface_normal_y": jnp.where(valid, v[..., 1], nan),
-        "surface_normal_z": jnp.where(valid, v[..., 2], nan),
+        "surface_normal_x": jnp.where(valid, vx, nan),
+        "surface_normal_y": jnp.where(valid, vy, nan),
+        "surface_normal_z": jnp.where(valid, vz, nan),
     }
+
+
+def _acos(x: Array) -> Array:
+    """acos from scratch — Mosaic (Pallas TPU) implements neither acos nor
+    atan2. 7-term minimax polynomial (Abramowitz & Stegun 4.4.46 form),
+    |error| <= 2e-8 rad — below f32 resolution. Branchless sign handling:
+    acos(-x) = pi - acos(x). NaN propagates."""
+    y = jnp.abs(x)
+    p = jnp.float32(-0.0012624911)
+    for c in (
+        0.0066700901,
+        -0.0170881256,
+        0.0308918810,
+        -0.0501743046,
+        0.0889789874,
+        -0.2145988016,
+        1.5707963050,
+    ):
+        p = p * y + jnp.float32(c)
+    r = jnp.sqrt(jnp.maximum(1.0 - y, 0.0)) * p
+    return jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
 
 
 def slope_from_normals(normal_z: Array, critical_value: float) -> Array:
     """SlopeFilter formula: 1 - acos(nz)/critical, clamped to 0; NaN kept."""
     nz = normal_z
-    slope = jnp.arccos(jnp.clip(nz, -1.0, 1.0))
+    slope = _acos(jnp.clip(nz, -1.0, 1.0))
     out = jnp.where(slope < critical_value, 1.0 - slope / critical_value, 0.0)
     return jnp.where(jnp.isfinite(nz), out, jnp.nan).astype(jnp.float32)
 

@@ -326,10 +326,19 @@ def check_circular_paths(
     radius: float,
     offset: float = 0.15,
     max_segment_cells: int = 64,
+    field: Optional[Tuple[Array, Array]] = None,
+    has_single_pose: bool = True,
 ) -> Tuple[Array, Array]:
     """Batched checkCircularFootprintPath (TraversabilityMap.cpp:345-462).
 
     poses: (P, N, 2) map-frame positions, first n_poses[p] valid per path.
+    `field`: optional precomputed ``dense_circle_field(state, radius+offset,
+    radius)`` — pass it when issuing many batches against one map epoch so the
+    field build amortizes (the reference's memo-cache reuse, batched).
+    `has_single_pose` (static): pass False when no path in the batch has
+    exactly one pose — skips the exact sub-cell spiral evaluation, which is
+    the only gather-heavy part left (single-pose queries probe an arbitrary
+    position; multi-pose samples are always cell centers served by `field`).
     Returns (is_safe (P,), traversability (P,)).
     """
     poses = jnp.asarray(poses, jnp.float32)
@@ -337,7 +346,11 @@ def check_circular_paths(
     n_poses = jnp.asarray(n_poses, jnp.int32)
 
     # --- single-pose paths ----------------------------------------------
-    ok1, trav1 = check_circles(state, poses[:, 0, :], radius + offset, radius)
+    if has_single_pose or N == 1:
+        ok1, trav1 = check_circles(state, poses[:, 0, :], radius + offset, radius)
+    else:
+        ok1 = jnp.zeros((P,), bool)
+        trav1 = jnp.zeros((P,), jnp.float32)
 
     if N == 1:
         safe = ok1 & (n_poses >= 1)
@@ -348,7 +361,9 @@ def check_circular_paths(
     # the per-cell dense circle field answers every sample with one lookup —
     # the reference's memo layer philosophy, computed as a gather-free stencil
     # scan once per (map, radius).
-    field_ok, field_trav = dense_circle_field(state, radius + offset, radius)
+    if field is None:
+        field = dense_circle_field(state, radius + offset, radius)
+    field_ok, field_trav = field
 
     starts = poses[:, :-1, :]  # (P, N-1, 2)
     ends = poses[:, 1:, :]

@@ -175,7 +175,8 @@ def step_veto_ok(
     for d_idx in range(len(dirs)):
         fail_self = fail_self | ray_fail_any[d_idx]
 
-    fail = step0 & jnp.where(has_cand, fail_from_cand, fail_self)
+    # logical ops, not jnp.where: Mosaic cannot lower select on i1 vectors
+    fail = step0 & ((has_cand & fail_from_cand) | (~has_cand & fail_self))
     return ~fail
 
 
