@@ -1,0 +1,145 @@
+"""Remaining service parity + aux subsystems (viz, profiling, sources,
+inclination, online loop)."""
+
+import numpy as np
+import pytest
+
+from traversability_estimation_tpu.models import (
+    FootprintPath,
+    TraversabilityEstimator,
+)
+from traversability_estimation_tpu.utils.config import EstimatorConfig, FootprintConfig
+
+
+@pytest.fixture
+def est(terrain):
+    e = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
+    elev = terrain(64, 64, 0.03, seed=71, nan_frac=0.03)
+    assert e.update(elev)
+    return e
+
+
+def test_set_traversability_map(est):
+    layers = {k: np.asarray(v) for k, v in est.traversability_map.layers.items()}
+    est2 = TraversabilityEstimator(est.config)
+    assert est2.set_traversability_map(
+        {
+            k: layers[k]
+            for k in (
+                "elevation",
+                "traversability",
+                "traversability_slope",
+                "traversability_step",
+            )
+        }
+    )
+    r1 = est.check_footprint_path(FootprintPath(poses=np.array([[0.1, 0.1], [0.4, 0.2]]), radius=0.2))
+    r2 = est2.check_footprint_path(FootprintPath(poses=np.array([[0.1, 0.1], [0.4, 0.2]]), radius=0.2))
+    assert r1[0].is_safe == r2[0].is_safe
+    assert r1[0].traversability == pytest.approx(r2[0].traversability, abs=1e-6)
+
+    # missing layer -> rejected (setTraversabilityMap parity)
+    assert not est2.set_traversability_map({"elevation": layers["elevation"]})
+
+
+def test_reset_footprint_layers(est):
+    est.traversability_footprint_circle()
+    assert "traversability_footprint" in est.traversability_map.layers
+    est.reset_footprint_layers()
+    assert not np.isfinite(
+        np.asarray(est.traversability_map["traversability_footprint"])
+    ).any()
+
+
+def test_default_traversability_restore(est):
+    est.set_default_traversability(0.9)
+    est.restore_default_traversability()
+    assert est._traversability_default == est.config.footprint.traversability_default
+
+
+def test_inclination_gate(terrain):
+    cfg = EstimatorConfig(
+        resolution=0.03,
+        footprint=FootprintConfig(check_robot_inclination=True),
+    )
+    e = TraversabilityEstimator(cfg)
+    elev = np.zeros((48, 48), np.float32)
+    assert e.update(elev)
+    # flat map, no robot_slope layer -> gate inactive, safe
+    r = e.check_footprint_path(FootprintPath(poses=np.array([[0.0, 0.0], [0.3, 0.0]]), radius=0.2))
+    assert r[0].is_safe
+
+    # add a robot_slope layer with a zero band crossing the path
+    robot_slope = np.ones((48, 48), np.float32)
+    robot_slope[20:28, :] = 0.0
+    e._map = e._map.add("robot_slope", robot_slope)
+    r = e.check_footprint_path(FootprintPath(poses=np.array([[0.5, 0.0], [-0.5, 0.0]]), radius=0.2))
+    assert not r[0].is_safe  # the line crosses the zero band
+    r = e.check_footprint_path(FootprintPath(poses=np.array([[0.6, 0.0], [0.6, 0.3]]), radius=0.2))
+    assert r[0].is_safe  # parallel to the band, outside it
+
+
+def test_mixed_polygonal_batch_grouping(est):
+    fp = np.array([[0.2, 0.12], [0.2, -0.12], [-0.2, -0.12], [-0.2, 0.12]], np.float32)
+    paths = [
+        FootprintPath(poses=np.array([[0.0, 0.0], [0.3, 0.1]]), footprint=fp),
+        FootprintPath(poses=np.array([[0.2, -0.2], [0.5, 0.0]]), footprint=fp),
+        FootprintPath(poses=np.array([[0.1, 0.1], [0.2, 0.4]]), footprint=fp, conservative=True),
+    ]
+    results = est.check_footprint_path(paths)
+    singles = [est.check_footprint_path([p])[0] for p in paths]
+    for r, s in zip(results, singles):
+        assert r.is_safe == s.is_safe
+        assert r.traversability == pytest.approx(s.traversability, abs=1e-6)
+
+
+def test_online_loop_with_sources(terrain):
+    from traversability_estimation_tpu.utils.sources import SyntheticTerrainSource
+    from traversability_estimation_tpu.utils.profiling import LatencyTracker
+
+    src = SyntheticTerrainSource(resolution=0.03)
+    e = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
+    e.set_elevation_map(np.full((96, 96), np.nan, np.float32), (0.0, 0.0))
+    tracker = LatencyTracker()
+    for step in range(5):
+        center = (0.2 * step, 0.1 * step)
+        patch, _ = src.sample(center, (1.2, 1.2))
+        with tracker.timed():
+            assert e.update_with_submap(patch, center)
+    stats = tracker.summary()
+    assert stats["n"] == 5 and stats["p50_ms"] > 0
+    # merged region has data, far corners remain unknown
+    elev = np.asarray(e.traversability_map["elevation"])
+    assert np.isfinite(elev).any() and not np.isfinite(elev).all()
+
+    # overlapping windows agree (deterministic source)
+    p1, _ = src.sample((0.0, 0.0), (1.2, 1.2))
+    p2, _ = src.sample((0.3, 0.0), (1.2, 1.2))
+    overlap1 = p1[:-10, :]
+    overlap2 = p2[10:, :]
+    both = np.isfinite(overlap1) & np.isfinite(overlap2)
+    np.testing.assert_allclose(overlap1[both], overlap2[both], atol=1e-6)
+
+
+def test_viz_dumps(est, tmp_path):
+    from traversability_estimation_tpu.utils.viz import dump_layers
+
+    files = dump_layers(
+        {"traversability": np.asarray(est.traversability_map["traversability"])},
+        str(tmp_path),
+    )
+    assert len(files) == 1
+    blob = open(files[0], "rb").read()
+    assert blob.startswith(b"\x89PNG")
+    assert (tmp_path / "map_traversability.npy").exists()
+
+
+def test_uncertainty_range_layer(terrain):
+    e = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
+    elev = terrain(32, 32, 0.03, seed=73, nan_frac=0.0)
+    upper = elev + 0.05
+    lower = elev - 0.05
+    e.set_elevation_map(elev, extra_layers={"upper_bound": upper, "lower_bound": lower})
+    assert e.update()
+    ur = np.asarray(e.traversability_map["uncertainty_range"])
+    np.testing.assert_allclose(ur, 0.1, atol=1e-6)

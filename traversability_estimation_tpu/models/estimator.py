@@ -241,8 +241,19 @@ class TraversabilityEstimator:
 
         for radius, ids in circular.items():
             self._run_circular(paths, results, ids, radius)
+        poly_groups: Dict[tuple, List[int]] = {}
         for i in polygonal:
-            self._run_polygonal(paths, results, [i])
+            p = paths[i]
+            fp = np.asarray(p.footprint, np.float32)
+            key = (
+                np.atleast_2d(np.asarray(p.poses)).shape[0],
+                fp.shape[0],
+                fp.tobytes(),
+                bool(p.conservative),
+            )
+            poly_groups.setdefault(key, []).append(i)
+        for ids in poly_groups.values():
+            self._run_polygonal(paths, results, ids)
         return results
 
     def _run_circular(self, paths, results, ids, radius):
@@ -265,6 +276,10 @@ class TraversabilityEstimator:
         )
         safe = np.asarray(safe)
         trav = np.asarray(trav)
+        incl = self._inclination_ok(poses, n_poses)
+        if incl is not None:
+            trav = np.where(incl, trav, 0.0)
+            safe = safe & incl
         for b, i in enumerate(ids):
             results[i].is_safe = bool(safe[b])
             results[i].traversability = float(trav[b])
@@ -274,40 +289,50 @@ class TraversabilityEstimator:
                 )
 
     def _run_polygonal(self, paths, results, ids):
-        for i in ids:
-            p = paths[i]
-            poses = np.atleast_2d(np.asarray(p.poses, dtype=np.float32))
-            N = poses.shape[0]
-            pos3 = np.zeros((1, N, 3), np.float32)
-            pos3[0, :, : poses.shape[1]] = poses
-            quats = np.zeros((1, N, 4), np.float32)
-            quats[0, :, 3] = 1.0
-            if p.orientations is not None:
-                quats[0] = np.asarray(p.orientations, np.float32).reshape(N, 4)
-            fp = np.asarray(p.footprint, np.float32)
-            seg_max = (
-                float(np.max(np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=-1)))
-                if N > 1
-                else 0.0
-            )
-            window = fp_ops.polygon_window_cells(
-                fp, seg_max, self.config.chain.resolution, p.conservative
-            )
-            safe, trav, area = _polygonal_paths_jit(
-                self.query_state,
-                jnp.asarray(pos3),
-                jnp.asarray(quats),
-                jnp.asarray([N], dtype=jnp.int32),
-                jnp.asarray(fp),
-                int(window),
-                bool(p.conservative),
-            )
-            results[i].is_safe = bool(np.asarray(safe)[0])
-            results[i].traversability = float(np.asarray(trav)[0])
-            results[i].area = float(np.asarray(area)[0])
-            if p.compute_untraversable_polygon and not results[i].is_safe:
+        # paths in one group share (N, footprint, conservative): one dispatch
+        p0 = paths[ids[0]]
+        fp = np.asarray(p0.footprint, np.float32)
+        conservative = bool(p0.conservative)
+        B = len(ids)
+        N = np.atleast_2d(np.asarray(p0.poses)).shape[0]
+        pos3 = np.zeros((B, N, 3), np.float32)
+        quats = np.zeros((B, N, 4), np.float32)
+        quats[..., 3] = 1.0
+        for b, i in enumerate(ids):
+            poses = np.atleast_2d(np.asarray(paths[i].poses, dtype=np.float32))
+            pos3[b, :, : poses.shape[1]] = poses
+            if paths[i].orientations is not None:
+                quats[b] = np.asarray(paths[i].orientations, np.float32).reshape(N, 4)
+        seg = np.linalg.norm(np.diff(pos3[..., :2], axis=1), axis=-1)
+        seg_max = float(seg.max()) if seg.size else 0.0
+        window = fp_ops.polygon_window_cells(
+            fp, seg_max, self.config.chain.resolution, conservative
+        )
+        n_poses = np.full((B,), N, np.int32)
+        safe, trav, area = _polygonal_paths_jit(
+            self.query_state,
+            jnp.asarray(pos3),
+            jnp.asarray(quats),
+            jnp.asarray(n_poses),
+            jnp.asarray(fp),
+            int(window),
+            conservative,
+        )
+        safe = np.asarray(safe)
+        trav = np.asarray(trav)
+        area = np.asarray(area)
+        incl = self._inclination_ok(pos3[..., :2], n_poses)
+        if incl is not None:
+            trav = np.where(incl, trav, 0.0)
+            area = np.where(incl, area, 0.0)
+            safe = safe & incl
+        for b, i in enumerate(ids):
+            results[i].is_safe = bool(safe[b])
+            results[i].traversability = float(trav[b])
+            results[i].area = float(area[b])
+            if paths[i].compute_untraversable_polygon and not safe[b]:
                 results[i].untraversable_polygon = self._untraversable_hull_circle(
-                    poses[:, :2],
+                    pos3[b, :, :2],
                     float(np.max(np.linalg.norm(fp, axis=1))) + seg_max,
                 )
 
@@ -365,7 +390,10 @@ class TraversabilityEstimator:
             return 4
         seg = np.linalg.norm(np.diff(np.asarray(poses), axis=1), axis=-1)
         longest = float(seg.max()) if seg.size else 0.0
-        return int(np.ceil(longest / res)) + 3
+        n = int(np.ceil(longest / res)) + 3
+        # bucket to multiples of 8: keeps the jit cache key stable across
+        # batches whose longest segment jitters by a cell or two
+        return ((n + 7) // 8) * 8
 
     def _untraversable_hull_circle(self, poses_xy, reach) -> Optional[np.ndarray]:
         """Diagnostic parity for compute_untraversable_polygon: convex hull of
@@ -425,6 +453,97 @@ class TraversabilityEstimator:
         layer = _footprint_circle_layer_jit(self.query_state, float(r), float(o))
         self._map = self._map.add_all({"traversability_footprint": layer})
         return self._map
+
+    # ------------------------------------------------------------------
+    # remaining service parity
+    # ------------------------------------------------------------------
+    def set_traversability_map(
+        self, layers: Dict[str, np.ndarray], position=(0.0, 0.0)
+    ) -> bool:
+        """setTraversabilityMap parity (TraversabilityMap.cpp:156-170): adopt
+        externally computed traversability layers without running the chain.
+        Veto fields are recomputed (they are pure functions of the layers)."""
+        required = (
+            "traversability",
+            "traversability_slope",
+            "traversability_step",
+        )
+        for r in required:
+            if r not in layers:
+                return False
+        if "elevation" not in layers:
+            return False
+        jlayers = {k: jnp.asarray(v, jnp.float32) for k, v in layers.items()}
+        veto = veto_ops.compute_veto_fields_jit(
+            {
+                k: jlayers[k]
+                for k in (
+                    "elevation",
+                    "traversability_slope",
+                    "traversability_step",
+                    *(
+                        ("traversability_roughness",)
+                        if self.config.veto.check_roughness
+                        else ()
+                    ),
+                )
+            },
+            self.config.veto,
+        )
+        self._position = np.asarray(position, dtype=np.float32)
+        all_layers = {**jlayers, **veto}
+        self._map = GridMap(
+            layers=all_layers,
+            resolution=self.config.chain.resolution,
+            position=jnp.asarray(self._position),
+            frame_id=self.config.map_frame_id,
+        )
+        self._elevation = jlayers["elevation"]
+        self._query_state = fp_ops.QueryState(
+            traversability=jlayers["traversability"],
+            traversable_mask=veto["traversable_mask"],
+            position=jnp.asarray(self._position),
+            resolution=self.config.chain.resolution,
+            default_traversability=self._traversability_default,
+        )
+        self._field_cache.clear()
+        self.initialized = True
+        return True
+
+    def reset_footprint_layers(self):
+        """resetTraversabilityFootprintLayers parity
+        (TraversabilityMap.cpp:195-200): drop the cached dense circle fields
+        and NaN-clear any footprint layers on the map."""
+        self._field_cache.clear()
+        if self._map is not None:
+            for layer in ("step_footprint", "slope_footprint", "traversability_footprint"):
+                if layer in self._map.layers:
+                    self._map = self._map.clear(layer)
+
+    def restore_default_traversability(self):
+        """restoreDefaultTraversabilityUnknownRegionsReadAtInit parity
+        (TraversabilityMap.cpp:953-955)."""
+        self.set_default_traversability(
+            self.config.footprint.traversability_default
+        )
+
+    def _inclination_ok(self, poses: np.ndarray, n_poses: np.ndarray):
+        """checkInclination gate (only when configured and a robot_slope
+        layer exists; TraversabilityMap.cpp:748-762)."""
+        if not self.config.footprint.check_robot_inclination:
+            return None
+        if self._map is None or "robot_slope" not in self._map.layers:
+            return None
+        max_cells = self._max_segment_cells(poses, n_poses)
+        return np.asarray(
+            _inclination_jit(
+                self.query_state,
+                self._map["robot_slope"],
+                jnp.asarray(poses, jnp.float32),
+                jnp.asarray(n_poses, jnp.int32),
+                int(max_cells),
+            )
+        )
 
     # ------------------------------------------------------------------
     # config reload / checkpointing
@@ -530,6 +649,11 @@ def _circular_paths_jit(
 @partial(jax.jit, static_argnums=(1, 2))
 def _circle_field_jit(state, radius_max, radius_min):
     return fp_ops.dense_circle_field(state, radius_max, radius_min)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _inclination_jit(state, robot_slope, poses, n_poses, max_cells):
+    return fp_ops.check_inclination_paths(state, robot_slope, poses, n_poses, max_cells)
 
 
 @partial(jax.jit, static_argnums=(5, 6))

@@ -406,6 +406,42 @@ def check_circular_paths(
     return safe, jnp.where(safe, trav, jnp.where(is_single, 0.0, 0.0))
 
 
+def check_inclination_paths(
+    state: QueryState,
+    robot_slope: Array,
+    poses: Array,
+    n_poses: Array,
+    max_segment_cells: int,
+) -> Array:
+    """Batched checkInclination (TraversabilityMap.cpp:748-762): a path fails
+    if any valid `robot_slope` cell on any segment's full Bresenham line
+    (stride 1) is exactly 0. Single-pose paths test the pose's own cell.
+
+    Note: no in-repo filter of the reference produces `robot_slope`; this is
+    only active when a configured chain adds that layer (SURVEY.md §2.1).
+    Returns ok (P,) bool.
+    """
+    poses = jnp.asarray(poses, jnp.float32)
+    P, N, _ = poses.shape
+    fail_plane = robot_slope == 0.0  # NaN -> False (invalid cells skipped)
+
+    idx0 = _index_of(state, poses[:, 0, :])
+    f0, _ = _gather_plane(fail_plane, idx0, False)
+    if N == 1:
+        return ~f0
+
+    starts = poses[:, :-1, :]
+    ends = poses[:, 1:, :]
+    seg_valid = jnp.arange(1, N)[None, :] < n_poses[:, None]
+    cells, cell_valid, _ = line_cells_batch(
+        _index_of(state, starts), _index_of(state, ends), max_segment_cells
+    )
+    f, _ = _gather_plane(fail_plane, cells, False)
+    seg_fail = jnp.any(f & cell_valid, axis=-1)
+    multi_fail = jnp.any(seg_fail & seg_valid, axis=-1)
+    return jnp.where(n_poses == 1, ~f0, ~multi_fail)
+
+
 # ---------------------------------------------------------------------------
 # Polygonal footprints
 # ---------------------------------------------------------------------------

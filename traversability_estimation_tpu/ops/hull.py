@@ -1,17 +1,27 @@
-"""Batched convex hull on device (Andrew monotone chain).
+"""Batched convex hull on device — branchless, TPU-native.
 
 Replaces grid_map's ``Polygon::convexHull`` / ``monotoneChainConvexHullOfPoints``
 (used by the reference's polygonal path checker at
-/root/reference/traversability_estimation/src/TraversabilityMap.cpp:546,638)
-with a fixed-size, vmappable implementation: point sets are padded to a static
-M, the chain is a ``lax.scan`` over points with a ``lax.while_loop`` pop stack.
-Collinear points are dropped (cross <= 0 popped), counter-clockwise output —
-same convention as grid_map.
+/root/reference/traversability_estimation/src/TraversabilityMap.cpp:546,638).
+
+A sequential monotone chain (sort + pop-stack) lowers catastrophically on TPU
+(per-element while_loops). Instead, for the small point sets here (two
+footprints, M <= 32):
+
+1. edge-validity matrix: directed edge i->j is a hull edge iff every other
+   point k lies strictly left of it; collinear points are allowed only
+   between i and j (keeps the longest collinear edge, matching grid_map's
+   collinear-popping), and exact duplicates are deduplicated by lowest index.
+   O(M^3) fully-vectorized VPU ops, no control flow.
+2. successor walk: hull vertices in CCW order by following the unique valid
+   outgoing edge M times (M vectorized steps over the whole batch).
+
+Output matches the monotone chain: CCW order, collinear points dropped,
+padding repeats the first hull vertex (safe for crossing tests and shoelace).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -20,86 +30,80 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _cross(o, a, b):
-    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+def hull_edge_matrix(points: Array, valid: Array) -> Array:
+    """(.., M, M) bool: directed hull edges of the valid points.
 
+    points: (..., M, 2); valid: (..., M) bool mask of real points.
+    """
+    px = points[..., 0]
+    py = points[..., 1]
+    # cross((j - i), (k - i)) for all i, j, k
+    jx = px[..., None, :, None] - px[..., :, None, None]  # (.., i, j, 1)
+    jy = py[..., None, :, None] - py[..., :, None, None]
+    kx = px[..., None, None, :] - px[..., :, None, None]  # (.., i, 1, k)
+    ky = py[..., None, None, :] - py[..., :, None, None]
+    cross = jx * ky - jy * kx  # (.., i, j, k)
+    dot = jx * kx + jy * ky
+    len2 = jx * jx + jy * jy  # |j - i|^2, broadcast over k
 
-def _half_hull(seq: Array, n_valid: Array) -> Tuple[Array, Array]:
-    """One monotone-chain pass over `seq` ((M,2), first n_valid real)."""
-    M = seq.shape[0]
-    stack0 = jnp.zeros((M + 1, 2), seq.dtype)
+    left = cross > 0.0
+    # collinear k allowed only when between i and j (inclusive)
+    between = (cross == 0.0) & (dot >= 0.0) & (dot <= len2)
+    k_ok = left | between | ~valid[..., None, None, :]
+    all_ok = jnp.all(k_ok, axis=-1)  # (.., i, j)
 
-    def body(carry, xs):
-        stack, k = carry
-        p, i = xs
-
-        def cond_fn(c):
-            st, kk = c
-            a = jax.lax.dynamic_slice(st, (kk - 2, 0), (1, 2))[0]
-            b = jax.lax.dynamic_slice(st, (kk - 1, 0), (1, 2))[0]
-            return (kk >= 2) & (_cross(a, b, p) <= 0.0)
-
-        def body_fn(c):
-            st, kk = c
-            return st, kk - 1
-
-        valid = i < n_valid
-        stack, k = jax.lax.cond(
-            valid,
-            lambda c: jax.lax.while_loop(cond_fn, body_fn, c),
-            lambda c: c,
-            (stack, k),
-        )
-        stack = jnp.where(valid, jax.lax.dynamic_update_slice(stack, p[None, :], (k, 0)), stack)
-        k = jnp.where(valid, k + 1, k)
-        return (stack, k), None
-
-    idx = jnp.arange(M, dtype=jnp.int32)
-    (stack, k), _ = jax.lax.scan(body, (stack0, jnp.int32(0)), (seq, idx))
-    return stack, k
+    # duplicate dedup: if any k < i equals point i (or k < j equals j), the
+    # lower-index copy owns the edge
+    M = points.shape[-2]
+    same = (px[..., :, None] == px[..., None, :]) & (
+        py[..., :, None] == py[..., None, :]
+    )  # (.., a, b)
+    idx = jnp.arange(M)
+    lower = idx[:, None] > idx[None, :]  # (a, b): b < a
+    dup_before = jnp.any(same & lower & valid[..., None, :], axis=-1)  # (.., a)
+    ok = (
+        all_ok
+        & valid[..., :, None]
+        & valid[..., None, :]
+        & ~dup_before[..., :, None]
+        & ~dup_before[..., None, :]
+        & ~same  # no self edges or zero-length duplicate-pair edges
+    )
+    return ok
 
 
 def convex_hull(points: Array, n_valid) -> Tuple[Array, Array]:
     """Convex hull of (M, 2) points (first `n_valid` real).
 
-    Returns (hull (2M, 2), n_hull): counter-clockwise hull vertices, padded by
-    repeating the first vertex (safe for crossing-number tests and shoelace
-    area, both of which mask by n_hull anyway).
-
-    Parity note: grid_map returns point sets of size <= 3 unchanged; callers
-    here always pass >= 4 points (two footprints), so the chain always runs.
+    Returns (hull (M, 2) CCW, n_hull), padded by repeating the first hull
+    vertex. Degenerate inputs (all points collinear/identical) return a
+    1-2 vertex "hull" — crossing tests then reject everything and shoelace
+    area is 0, matching the degenerate-polygon behavior downstream.
     """
     M = points.shape[0]
-    n_valid = jnp.asarray(n_valid, jnp.int32)
-    # lexicographic sort (x, then y); push padded entries to the end
-    big = jnp.float32(3e38)
-    px = jnp.where(jnp.arange(M) < n_valid, points[:, 0], big)
-    py = jnp.where(jnp.arange(M) < n_valid, points[:, 1], big)
-    order = jnp.lexsort((py, px))
-    sorted_pts = points[order]
+    valid = jnp.arange(M) < jnp.asarray(n_valid, jnp.int32)
+    edges = hull_edge_matrix(points, valid)  # (M, M)
 
-    lower, kl = _half_hull(sorted_pts, n_valid)
-    upper, ku = _half_hull(sorted_pts[::-1], n_valid)
+    has_out = jnp.any(edges, axis=-1)  # hull vertices
+    # any hull vertex starts the (unique) cycle; first-by-index is
+    # deterministic, and crossing tests/shoelace are rotation-invariant
+    start = jnp.argmax(has_out)
 
-    out = jnp.zeros((2 * M, 2), points.dtype)
-    # lower[:kl-1] ++ upper[:ku-1]
-    idx = jnp.arange(2 * M, dtype=jnp.int32)
-    n_low = jnp.maximum(kl - 1, 0)
-    n_up = jnp.maximum(ku - 1, 0)
-    n_hull = n_low + n_up
-    src_low = jnp.clip(idx, 0, M)
-    src_up = jnp.clip(idx - n_low, 0, M)
-    vals = jnp.where(
-        (idx < n_low)[:, None],
-        lower[src_low],
-        upper[src_up],
-    )
-    first = vals[0]
-    out = jnp.where((idx < n_hull)[:, None], vals, first[None, :])
-    # degenerate: all points identical -> n_hull can be 0; report 1 vertex
-    out = jnp.where(n_hull > 0, out, jnp.broadcast_to(sorted_pts[0], out.shape))
+    succ = jnp.argmax(edges, axis=-1)  # (M,) unique successor per hull vertex
+
+    def step(carry, _):
+        cur = carry
+        return succ[cur], cur
+
+    _, order = jax.lax.scan(step, start, None, length=M)
+    hull = points[order]  # (M, 2) walk, cycles after n_hull
+    # n_hull: first return to start after step 0
+    back = (order == start) & (jnp.arange(M) > 0)
+    n_hull = jnp.where(jnp.any(back), jnp.argmax(back), jnp.int32(M))
     n_hull = jnp.maximum(n_hull, 1)
-    return out, n_hull
+    first = hull[0]
+    hull = jnp.where((jnp.arange(M) < n_hull)[:, None], hull, first[None, :])
+    return hull, n_hull
 
 
 convex_hull_batch = jax.vmap(convex_hull, in_axes=(0, 0), out_axes=(0, 0))

@@ -23,6 +23,19 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _ensure_built():
+    """Build the native libs on first use if a toolchain is available."""
+    if os.path.exists(os.path.join(_NATIVE_DIR, "libte_baseline.so")):
+        return
+    import subprocess
+
+    build = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "csrc", "build.sh"
+    )
+    if os.path.exists(build):
+        subprocess.run(["sh", build], capture_output=True, timeout=120)
+
+
 _lib = None
 
 
@@ -30,6 +43,7 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
+    _ensure_built()
     path = os.path.join(_NATIVE_DIR, "libte_baseline.so")
     if not os.path.exists(path):
         raise NativeUnavailable(f"{path} not built (run csrc/build.sh)")
@@ -92,6 +106,7 @@ def _load_bag_lib():
     global _bag_lib
     if _bag_lib is not None:
         return _bag_lib
+    _ensure_built()
     path = os.path.join(_NATIVE_DIR, "libte_rosbag.so")
     if not os.path.exists(path):
         raise NativeUnavailable(f"{path} not built (run csrc/build.sh)")

@@ -47,9 +47,11 @@ class SyntheticTerrainSource:
             0.15 * np.sin(0.7 * X) * np.cos(0.5 * Y)
             + 0.3 * ((np.sin(0.21 * X + 1.0) > 0.85) & (np.cos(0.17 * Y) > 0.4))
         )
-        # deterministic per-cell noise/holes from integer world cell ids
-        gi = np.round(X / res).astype(np.int64)
-        gj = np.round(Y / res).astype(np.int64)
+        # deterministic per-cell noise/holes from integer world cell ids.
+        # floor, not round: cell centers sit at half-integer multiples of res,
+        # so round() would tie-break inconsistently between windows
+        gi = np.floor(X / res).astype(np.int64)
+        gj = np.floor(Y / res).astype(np.int64)
         h = (gi * 2654435761 + gj * 40503) & 0xFFFFFFFF
         u = (h.astype(np.float64) / 2**32)
         z = z + self.noise * (2.0 * u - 1.0)
