@@ -222,3 +222,50 @@ class TestPolygons:
                 if r.is_safe:
                     assert trav[p] == pytest.approx(r.traversability, abs=1e-4)
                     assert area[p] == pytest.approx(r.area, rel=1e-3, abs=1e-4)
+
+
+class TestDenseFields:
+    def test_dense_polygon_field_matches_oracle(self, setup):
+        m, layers, state, fresh_oracle = setup
+        fp = np.array(
+            [[0.25, 0.15], [0.25, -0.15], [-0.25, -0.15], [-0.25, 0.15]], np.float64
+        )
+        ok, trav = fp_ops.dense_polygon_field(state, fp)
+        ok, trav = np.asarray(ok), np.asarray(trav)
+        om = fresh_oracle()
+        rows, cols = ok.shape
+        rng = np.random.default_rng(9)
+        verdict_mismatch = 0
+        for _ in range(60):
+            i = int(rng.integers(5, rows - 5))
+            j = int(rng.integers(5, cols - 5))
+            center = om.cell_position((i, j))
+            o_ok, o_trav, _ = om.is_traversable_polygon(center + fp)
+            if ok[i, j] != o_ok:
+                verdict_mismatch += 1
+            elif o_ok:
+                # footprint dims that are exact multiples of the resolution
+                # put whole cell ROWS exactly on the polygon edge; the oracle
+                # (like the C++) includes them by float luck, the static rule
+                # excludes them — means shift by ~boundary/area (see PARITY.md)
+                assert abs(trav[i, j] - o_trav) < 0.05
+        assert verdict_mismatch <= 2
+
+    def test_dense_circle_field_matches_per_query(self, setup, rng):
+        m, layers, state, fresh_oracle = setup
+        ok_f, trav_f = fp_ops.dense_circle_field(state, 0.4, 0.25)
+        ok_f, trav_f = np.asarray(ok_f), np.asarray(trav_f)
+        om = fresh_oracle()
+        rows, cols = ok_f.shape
+        mismatch = 0
+        for _ in range(60):
+            i = int(rng.integers(0, rows))
+            j = int(rng.integers(0, cols))
+            center = om.cell_position((i, j))
+            om2 = fresh_oracle()
+            o_ok, o_trav, _ = om2.is_traversable_circle(center, 0.4, 0.25)
+            if ok_f[i, j] != o_ok:
+                mismatch += 1
+            elif o_ok and abs(trav_f[i, j] - o_trav) > 5e-5:
+                mismatch += 1
+        assert mismatch <= 1

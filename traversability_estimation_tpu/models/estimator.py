@@ -140,12 +140,94 @@ class TraversabilityEstimator:
         )
         return True
 
-    def update_with_submap(self, patch: np.ndarray, center_xy) -> bool:
-        """One online tick: merge the fresh submap, re-run the device update
-        (the reference's timer callback, TraversabilityEstimation.cpp:170)."""
+    def update_with_submap(
+        self, patch: np.ndarray, center_xy, incremental: bool = True
+    ) -> bool:
+        """One online tick: merge the fresh submap and refresh traversability.
+
+        `incremental=True` recomputes only the affected region: every output
+        cell within `halo` of a changed elevation cell, computed from an input
+        crop expanded by one more halo so no crop-edge artifact survives
+        (halo = the largest stencil reach, parallel.sharding.required_halo).
+        The reference recomputes the full (small, robot-centric) map each
+        tick (TraversabilityMap.cpp:214); for large persistent maps the
+        incremental path keeps 10 Hz at tens of millions of cells.
+        """
+        if self._elevation is None:
+            return False
+        if not self.initialized or not incremental:
+            if not self.merge_submap(patch, center_xy):
+                return False
+            return self.update()
+
+        from traversability_estimation_tpu.parallel.sharding import required_halo
+
+        bounds = self._merge_bounds(patch, center_xy)
+        if bounds is None:
+            return False
         if not self.merge_submap(patch, center_xy):
             return False
-        return self.update()
+        si0, si1, sj0, sj1 = bounds
+        halo = required_halo(self.config.chain, self.config.veto)
+        H, W = self._elevation.shape
+        # output region: changed cells + halo; input crop: one more halo out
+        oi0, oi1 = max(si0 - halo, 0), min(si1 + halo, H)
+        oj0, oj1 = max(sj0 - halo, 0), min(sj1 + halo, W)
+        ci0, ci1 = max(oi0 - halo, 0), min(oi1 + halo, H)
+        cj0, cj1 = max(oj0 - halo, 0), min(oj1 + halo, W)
+        # bucket the crop shape so the jit key stays stable tick to tick
+        ci1 = min(ci0 + ((ci1 - ci0 + 63) // 64) * 64, H)
+        cj1 = min(cj0 + ((cj1 - cj0 + 63) // 64) * 64, W)
+        ci0 = max(min(ci0, ci1 - ((ci1 - ci0) // 64) * 64), 0)
+
+        t0 = time.perf_counter()
+        crop = jax.lax.dynamic_slice(
+            self._elevation, (ci0, cj0), (ci1 - ci0, cj1 - cj0)
+        )
+        crop_layers = _update_step(crop, self.config.chain, self.config.veto)
+        # write back only the inner (artifact-free) region
+        wi0, wi1 = oi0 - ci0, oi1 - ci0
+        wj0, wj1 = oj0 - cj0, oj1 - cj0
+        new_layers = dict(self._map.layers)
+        for name, plane in crop_layers.items():
+            inner = plane[wi0:wi1, wj0:wj1]
+            if name in new_layers:
+                new_layers[name] = jax.lax.dynamic_update_slice(
+                    new_layers[name].astype(inner.dtype), inner, (oi0, oj0)
+                )
+        new_layers["elevation"] = self._elevation
+        jax.block_until_ready(new_layers["traversability"])
+        self.last_update_seconds = time.perf_counter() - t0
+
+        self._map = dataclasses.replace(self._map, layers=new_layers)
+        self._query_state = fp_ops.QueryState(
+            traversability=new_layers["traversability"],
+            traversable_mask=new_layers["traversable_mask"],
+            position=jnp.asarray(self._position),
+            resolution=self.config.chain.resolution,
+            default_traversability=self._traversability_default,
+        )
+        self._field_cache.clear()
+        return True
+
+    def _merge_bounds(self, patch, center_xy):
+        """Index bounds the patch will occupy (same math as merge_submap)."""
+        patch = np.asarray(patch)
+        res = self.config.chain.resolution
+        H, W = self._elevation.shape
+        ph, pw = patch.shape
+        half = np.array([H, W]) * res / 2.0
+        i0 = int(
+            np.floor((self._position[0] + half[0] - (center_xy[0] + ph * res / 2)) / res)
+        )
+        j0 = int(
+            np.floor((self._position[1] + half[1] - (center_xy[1] + pw * res / 2)) / res)
+        )
+        si0, sj0 = max(i0, 0), max(j0, 0)
+        si1, sj1 = min(i0 + ph, H), min(j0 + pw, W)
+        if si1 <= si0 or sj1 <= sj0:
+            return None
+        return si0, si1, sj0, sj1
 
     # ------------------------------------------------------------------
     # update (computeTraversability)
@@ -338,17 +420,85 @@ class TraversabilityEstimator:
 
     # fast-path array APIs for large batches (bench configs 3 & 5)
     def check_circular_paths_batch(
-        self, poses: np.ndarray, n_poses: np.ndarray, radius: float
+        self,
+        poses: np.ndarray,
+        n_poses: np.ndarray,
+        radius: float,
+        crop: Optional[bool] = None,
     ):
+        """Batched circular path checks. On large maps (`crop` defaults to
+        True above 4M cells) the query state and dense circle field are built
+        on a crop covering the pose bounding box + the spiral radius, so
+        per-batch cost scales with the QUERY footprint, not the map size —
+        results are identical (every touched cell lies inside the crop)."""
         offset = self.config.footprint.circular_footprint_offset
         max_cells = self._max_segment_cells(poses, n_poses)
-        field = self._circle_field(float(radius), float(offset))
+        H, W = self.query_state.shape
+        if crop is None:
+            crop = H * W > 4_000_000
+        if crop:
+            state, field = self._cropped_state_and_field(poses, radius, offset)
+        else:
+            state = self.query_state
+            field = self._circle_field(float(radius), float(offset))
         has_single = bool(np.any(np.asarray(n_poses) <= 1))
         return _circular_paths_jit(
-            self.query_state, jnp.asarray(poses, jnp.float32),
+            state, jnp.asarray(poses, jnp.float32),
             jnp.asarray(n_poses, jnp.int32), float(radius), float(offset),
             int(max_cells), field, has_single,
         )
+
+    def _cropped_state_and_field(self, poses: np.ndarray, radius, offset):
+        """Crop the query planes to the pose bbox + spiral reach (bucketed
+        shape for jit stability) and build the dense field on the crop."""
+        res = self.config.chain.resolution
+        H, W = self.query_state.shape
+        poses = np.asarray(poses, np.float32).reshape(-1, 2)
+        margin = radius + offset + 3 * res
+        half = np.array([H, W]) * res / 2.0
+        p0 = np.asarray(self._position, np.float64) + half
+        i_lo = int(np.floor((p0[0] - (poses[:, 0].max() + margin)) / res))
+        i_hi = int(np.floor((p0[0] - (poses[:, 0].min() - margin)) / res)) + 1
+        j_lo = int(np.floor((p0[1] - (poses[:, 1].max() + margin)) / res))
+        j_hi = int(np.floor((p0[1] - (poses[:, 1].min() - margin)) / res)) + 1
+        i_lo, j_lo = max(i_lo, 0), max(j_lo, 0)
+        i_hi, j_hi = min(i_hi, H), min(j_hi, W)
+        if i_hi <= i_lo or j_hi <= j_lo:
+            # queries entirely off-map: a minimal corner crop (verdicts come
+            # out as the off-map default either way)
+            i_lo, j_lo, i_hi, j_hi = 0, 0, min(64, H), min(64, W)
+        # bucket shape coarsely (512s) so successive query batches with
+        # jittering bounding boxes reuse one compiled crop shape
+        hc = min(((i_hi - i_lo + 511) // 512) * 512, H)
+        wc = min(((j_hi - j_lo + 511) // 512) * 512, W)
+        i_lo = min(i_lo, H - hc)
+        j_lo = min(j_lo, W - wc)
+
+        key = ("crop", float(radius), float(offset), i_lo, j_lo, hc, wc)
+        if key not in self._field_cache:
+            full = self.query_state
+            trav = jax.lax.dynamic_slice(full.traversability, (i_lo, j_lo), (hc, wc))
+            mask = jax.lax.dynamic_slice(
+                full.traversable_mask, (i_lo, j_lo), (hc, wc)
+            )
+            pos_crop = jnp.asarray(
+                [
+                    p0[0] - (i_lo + hc / 2.0) * res,
+                    p0[1] - (j_lo + wc / 2.0) * res,
+                ],
+                jnp.float32,
+            )
+            state = fp_ops.QueryState(
+                traversability=trav,
+                traversable_mask=mask,
+                position=pos_crop,
+                resolution=res,
+                default_traversability=self._traversability_default,
+            )
+            field = _circle_field_jit(state, float(radius + offset), float(radius))
+            self._field_cache[key] = (state, field)
+        state, field = self._field_cache[key]
+        return state, field
 
     def _circle_field(self, radius: float, offset: float):
         """Dense circle field cached per map epoch (the reference's
@@ -429,12 +579,15 @@ class TraversabilityEstimator:
         ``traversability_x`` / ``traversability_rot`` layers
         (TraversabilityMap.cpp:239-305)."""
         yaw = self.config.footprint_yaw if footprint_yaw is None else footprint_yaw
-        fp = np.asarray(self.config.footprint.footprint_polygon, np.float32)
-        window = fp_ops.polygon_window_cells(fp, 0.0, self.config.chain.resolution)
+        fp = np.asarray(self.config.footprint.footprint_polygon, np.float64)
+        c, s = np.cos(yaw), np.sin(yaw)
+        fp_rot = fp @ np.array([[c, -s], [s, c]]).T
         t0 = time.perf_counter()
-        x_layer = _footprint_layer_jit(self.query_state, jnp.asarray(fp), 0.0, window)
+        x_layer = _footprint_layer_jit(
+            self.query_state, tuple(map(tuple, fp))
+        )
         rot_layer = _footprint_layer_jit(
-            self.query_state, jnp.asarray(fp), float(yaw), window
+            self.query_state, tuple(map(tuple, fp_rot))
         )
         jax.block_until_ready((x_layer, rot_layer))
         self.last_footprint_seconds = time.perf_counter() - t0
@@ -663,32 +816,13 @@ def _polygonal_paths_jit(state, pos3, quats, n_poses, footprint, window, conserv
     )
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _footprint_layer_jit(state, footprint, yaw, window):
-    """Dense per-cell polygonal footprint score (either yaw) — the footprint
-    polygon placed at every cell center; static raster window."""
-    c, s = jnp.cos(yaw), jnp.sin(yaw)
-    R = jnp.array([[c, -s], [s, c]], jnp.float32)
-    fp = footprint @ R.T  # (V, 2) rotated footprint
-    rows, cols = state.shape
-    ii, jj = jnp.meshgrid(
-        jnp.arange(rows, dtype=jnp.int32),
-        jnp.arange(cols, dtype=jnp.int32),
-        indexing="ij",
-    )
-    centers = fp_ops._position_of(state, jnp.stack([ii, jj], axis=-1))
-    centers_flat = centers.reshape(-1, 2)
-    B = centers_flat.shape[0]
-    verts = centers_flat[:, None, :] + fp[None, :, :]
-    V = fp.shape[0]
-    ok, trav, _ = fp_ops.check_polygons(
-        state,
-        verts,
-        jnp.full((B,), V, jnp.int32),
-        centers_flat,
-        window,
-    )
-    return jnp.where(ok, trav, 0.0).reshape(rows, cols).astype(jnp.float32)
+@partial(jax.jit, static_argnums=(1,))
+def _footprint_layer_jit(state, footprint_rotated):
+    """Dense per-cell polygonal footprint score — the footprint polygon
+    placed at every cell center. Static-stencil (gather-free): the covered
+    cell offsets are the same for every center."""
+    ok, trav = fp_ops.dense_polygon_field(state, np.asarray(footprint_rotated))
+    return jnp.where(ok, trav, 0.0).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -612,6 +612,56 @@ def check_polygonal_paths(
     return safe, trav, area
 
 
+def dense_polygon_field(
+    state: QueryState, vertices_origin: np.ndarray
+) -> Tuple[Array, Array]:
+    """Per-cell polygonal footprint verdict for the polygon placed (without
+    further rotation) at every CELL CENTER — the traversabilityFootprint
+    service workload (TraversabilityMap.cpp:239-305), gather-free.
+
+    The relative cell offsets covered by the polygon are static (the same
+    crossing-number rule as PolygonIterator, evaluated host-side in float64),
+    so the whole layer is a handful of shifted reductions.
+
+    vertices_origin: (V, 2) numpy polygon in the base frame (origin-centred).
+    Returns (ok (H, W) bool, trav (H, W) f32).
+    """
+    from traversability_estimation_tpu.ops.filters import _shifted
+    from traversability_estimation_tpu.oracle.footprint import _point_in_polygon
+
+    verts = np.asarray(vertices_origin, np.float64)
+    res = state.resolution
+    reach = int(math.ceil(np.abs(verts).max() / res)) + 1
+    offs = []
+    for di in range(-reach, reach + 1):
+        for dj in range(-reach, reach + 1):
+            if _point_in_polygon(verts, np.array([-di * res, -dj * res])):
+                offs.append((di, dj))
+
+    fail_plane = ~state.traversable_mask
+    tv = jnp.where(
+        jnp.isfinite(state.traversability),
+        state.traversability,
+        state.default_traversability,
+    )
+    H, W = state.shape
+    fail = jnp.zeros((H, W), bool)
+    n = jnp.zeros((H, W), jnp.float32)
+    s = jnp.zeros((H, W), jnp.float32)
+    ones = jnp.ones((H, W), jnp.float32)
+    tv_pass = jnp.where(fail_plane, 0.0, tv)
+    pass_plane = jnp.where(fail_plane, 0.0, 1.0)
+    for di, dj in offs:
+        fail = fail | _shifted(fail_plane, di, dj, False)
+        n = n + _shifted(pass_plane, di, dj, 0.0)
+        s = s + _shifted(tv_pass, di, dj, 0.0)
+    default = jnp.float32(state.default_traversability)
+    empty = (n == 0.0) & ~fail
+    ok = ~fail & jnp.where(empty, default != 0.0, True)
+    trav = jnp.where(fail, 0.0, jnp.where(empty, default, s / jnp.maximum(n, 1.0)))
+    return ok, trav.astype(jnp.float32)
+
+
 def polygon_window_cells(
     footprint: np.ndarray,
     max_segment_length: float,
