@@ -249,9 +249,17 @@ class TraversabilityEstimator:
         if self._elevation is None:
             return False
         t0 = time.perf_counter()
-        layers = _update_step(
-            self._elevation, self.config.chain, self.config.veto
-        )
+        if self.config.use_generic_chain and self.config.filter_specs:
+            layers = _update_step_generic(
+                self._elevation,
+                self.config.filter_specs,
+                self.config.chain.resolution,
+                self.config.veto,
+            )
+        else:
+            layers = _update_step(
+                self._elevation, self.config.chain, self.config.veto
+            )
         jax.block_until_ready(layers)
         self.last_update_seconds = time.perf_counter() - t0
 
@@ -788,6 +796,38 @@ def _update_step(elevation, chain_cfg: chain_ops.ChainConfig, veto_cfg: veto_ops
     layers.update(veto)
     # boolean planes stay for queries; footprint parity layers are float
     return layers
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _update_step_generic(elevation, filter_specs, resolution, veto_cfg):
+    """Map update through the declarative chain compiler (ops/chain.py) —
+    used when the configured chain is not representable by the fused fast
+    path (extra filters, custom layer names, reordered stages). The veto
+    cascade consumes whichever canonical layers the chain produced; a layer
+    the chain does not produce behaves like the reference querying a chain
+    without it (NaN layer -> veto passes, TraversabilityMap.cpp:798/873/901
+    only veto where the layer is exactly 0)."""
+    from traversability_estimation_tpu.ops import chain as spec_chain
+
+    produced = spec_chain.compile_chain(filter_specs, resolution)(
+        {"elevation": elevation}
+    )
+    nanplane = jnp.full_like(elevation, jnp.nan)
+    if "traversability" not in produced:
+        produced["traversability"] = nanplane
+    veto_in = {
+        "elevation": elevation,
+        "traversability_slope": produced.get("traversability_slope", nanplane),
+        "traversability_step": produced.get("traversability_step", nanplane),
+    }
+    if veto_cfg.check_roughness:
+        veto_in["traversability_roughness"] = produced.get(
+            "traversability_roughness", nanplane
+        )
+    veto = veto_ops.compute_veto_fields(veto_in, veto_cfg)
+    produced.pop("elevation", None)
+    produced.update(veto)
+    return produced
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 7))

@@ -412,10 +412,11 @@ def run_chain(elevation: Array, config: ChainConfig) -> Dict[str, Array]:
             config.roughness_estimation_radius,
         )
     if config.fusion_expression:
-        # MathExpressionFilter parity: arithmetic over layer-name variables
-        namespace = {"__builtins__": {}}
-        namespace.update(out)
-        fused = eval(config.fusion_expression, namespace)  # noqa: S307
+        # MathExpressionFilter parity: arithmetic over layer-name variables,
+        # compiled by the safe expression compiler (ops/expr.py — no eval)
+        from traversability_estimation_tpu.ops import expr as expr_mod
+
+        fused = expr_mod.evaluate(expr_mod.parse(config.fusion_expression), out)
     else:
         fused = jnp.zeros_like(out["traversability_slope"])
         for layer, w in config.fusion_weights:

@@ -17,8 +17,51 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import yaml
 
+from traversability_estimation_tpu.ops.chain import FilterSpec
 from traversability_estimation_tpu.ops.filters import ChainConfig
 from traversability_estimation_tpu.ops.veto import VetoConfig
+
+# chain shapes the fused fast path (ops/filters.run_chain) reproduces exactly:
+# at most one of each canonical filter, normals first, default output names
+_CANONICAL_TYPES = {
+    "gridMapFilters/NormalVectorsFilter",
+    "traversabilityFilters/SlopeFilter",
+    "traversabilityFilters/StepFilter",
+    "traversabilityFilters/RoughnessFilter",
+    "gridMapFilters/MathExpressionFilter",
+    "gridMapFilters/DeletionFilter",
+}
+_DEFAULT_OUTPUTS = {
+    "traversabilityFilters/SlopeFilter": "traversability_slope",
+    "traversabilityFilters/StepFilter": "traversability_step",
+    "traversabilityFilters/RoughnessFilter": "traversability_roughness",
+}
+
+
+def _is_canonical(specs: Sequence[FilterSpec]) -> bool:
+    """True when the fused fast path (ChainConfig) represents this chain
+    exactly; anything else routes through the generic declarative chain."""
+    seen = set()
+    normals_seen = False
+    for s in specs:
+        if s.type not in _CANONICAL_TYPES or s.type in seen:
+            return False
+        seen.add(s.type)
+        if s.type == "gridMapFilters/NormalVectorsFilter":
+            if s.param("input_layer", "elevation") != "elevation" or s.param(
+                "output_layers_prefix", "surface_normal_"
+            ) != "surface_normal_":
+                return False
+            normals_seen = True
+        elif s.type in _DEFAULT_OUTPUTS:
+            if s.param("map_type", _DEFAULT_OUTPUTS[s.type]) != _DEFAULT_OUTPUTS[s.type]:
+                return False
+            if s.type != "traversabilityFilters/StepFilter" and not normals_seen:
+                return False
+        elif s.type == "gridMapFilters/MathExpressionFilter":
+            if s.param("output_layer", "traversability") != "traversability":
+                return False
+    return True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +98,13 @@ class EstimatorConfig:
     use_raw_map: bool = False
     chain: ChainConfig = None  # type: ignore[assignment]
     footprint: FootprintConfig = dataclasses.field(default_factory=FootprintConfig)
+    # full declarative chain spec (ops/chain.py). When `use_generic_chain` is
+    # set (a configured chain the fused fast path cannot represent), map
+    # updates run the compiled generic chain instead of ops/filters.run_chain;
+    # `chain` still carries the best-effort extracted parameters for the veto
+    # cascade (critical step height etc.).
+    filter_specs: Tuple[FilterSpec, ...] = ()
+    use_generic_chain: bool = False
 
     def __post_init__(self):
         if self.chain is None:
@@ -143,6 +193,7 @@ def load_config(
             fp_doc = (yaml.safe_load(f) or {}).get("footprint", {})
 
     chain = _chain_from_filter_list(filters, resolution)
+    specs = tuple(FilterSpec.from_dict(e) for e in filters)
     footprint = FootprintConfig(
         footprint_polygon=tuple(
             tuple(p) for p in fp_doc.get(
@@ -178,6 +229,8 @@ def load_config(
         use_raw_map=bool(robot.get("use_raw_map", False)),
         chain=chain,
         footprint=footprint,
+        filter_specs=specs,
+        use_generic_chain=bool(specs) and not _is_canonical(specs),
     )
 
 
