@@ -722,10 +722,29 @@ class TraversabilityEstimator:
         self._traversability_default = value
 
     def save(self, path: str):
-        """NPZ snapshot of the full map state (save_traversability_map_to_bag
-        analog; NPZ instead of rosbag)."""
+        """Snapshot the full map state: ``.bag`` writes the reference's own
+        checkpoint format (save_traversability_map_to_bag parity,
+        TraversabilityEstimation.cpp:318-329 — loadable by stock ROS tooling
+        and by load_elevation_map); anything else writes an NPZ snapshot."""
         if self._map is None:
             raise RuntimeError("nothing to save")
+        float_layers = {
+            k: np.asarray(v)
+            for k, v in self._map.layers.items()
+            if np.asarray(v).dtype != np.bool_
+        }
+        if path.endswith(".bag"):
+            from traversability_estimation_tpu.utils.rosbag import save_grid_map_bag
+
+            save_grid_map_bag(
+                path,
+                float_layers,
+                self.config.chain.resolution,
+                np.asarray(self._position),
+                frame_id=self.config.map_frame_id,
+                topic="grid_map",
+            )
+            return
         data = {f"layer_{k}": np.asarray(v) for k, v in self._map.layers.items()}
         np.savez_compressed(
             path,

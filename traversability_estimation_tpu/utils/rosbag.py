@@ -234,3 +234,324 @@ def load_grid_map_bag(path: str, topic: Optional[str] = None) -> GridMapMessage:
         if msg.msg_type.endswith("GridMap") and (topic is None or msg.topic == topic):
             return decode_grid_map(msg.raw)
     raise ValueError(f"no GridMap message found in {path}")
+
+
+# ---------------------------------------------------------------------------
+# rosbag v2.0 WRITER + grid_map_msgs/GridMap encoder
+# ---------------------------------------------------------------------------
+# Parity with the reference's save_traversability_map_to_bag service
+# (TraversabilityEstimation.cpp:318-329 via GridMapRosConverter::saveToBag):
+# emits a standards-conformant bag (header + one uncompressed chunk + index
+# data + chunk-info index) that both this module's reader and stock ROS
+# tooling can load. Connection metadata (md5sum, message definition) matches
+# grid_map_msgs/GridMap.
+
+_OP_INDEX = 0x04
+_OP_CHUNK_INFO = 0x06
+
+_GRID_MAP_MD5 = "95681e052b1f73bf87b7eb984382b401"
+
+_GRID_MAP_MSG_DEF = """\
+# Grid map header
+GridMapInfo info
+
+# Grid map layer names.
+string[] layers
+
+# Grid map basic layer names (optional). The basic layers
+# determine which layers from `layers` need to be valid
+# in order for a cell of the grid map to be valid.
+string[] basic_layers
+
+# Grid map data.
+std_msgs/Float32MultiArray[] data
+
+# Row start index (default 0).
+uint16 outer_start_index
+
+# Column start index (default 0).
+uint16 inner_start_index
+
+================================================================================
+MSG: grid_map_msgs/GridMapInfo
+# Header (time and frame)
+Header header
+
+# Resolution of the grid [m/cell].
+float64 resolution
+
+# Length in x-direction [m].
+float64 length_x
+
+# Length in y-direction [m].
+float64 length_y
+
+# Pose of the grid map center in the frame defined in `header` [m].
+geometry_msgs/Pose pose
+================================================================================
+MSG: std_msgs/Header
+# Standard metadata for higher-level stamped data types.
+# This is generally used to communicate timestamped data 
+# in a particular coordinate frame.
+# 
+# sequence ID: consecutively increasing ID 
+uint32 seq
+#Two-integer timestamp that is expressed as:
+# * stamp.sec: seconds (stamp_secs) since epoch (in Python the variable is called 'secs')
+# * stamp.nsec: nanoseconds since stamp_secs (in Python the variable is called 'nsecs')
+# time-handling sugar is provided by the client library
+time stamp
+#Frame this data is associated with
+# 0: no frame
+# 1: global frame
+string frame_id
+
+================================================================================
+MSG: geometry_msgs/Pose
+# A representation of pose in free space, composed of position and orientation. 
+Point position
+Quaternion orientation
+
+================================================================================
+MSG: geometry_msgs/Point
+# This contains the position of a point in free space
+float64 x
+float64 y
+float64 z
+
+================================================================================
+MSG: geometry_msgs/Quaternion
+# This represents an orientation in free space in quaternion form.
+
+float64 x
+float64 y
+float64 z
+float64 w
+
+================================================================================
+MSG: std_msgs/Float32MultiArray
+# Please look at the MultiArrayLayout message definition for
+# documentation on all multiarrays.
+
+MultiArrayLayout  layout        # specification of data layout
+float32[]         data          # array of data
+
+
+================================================================================
+MSG: std_msgs/MultiArrayLayout
+# The multiarray declares a generic multi-dimensional array of a
+# particular data type.  Dimensions are ordered from outer most
+# to inner most.
+
+MultiArrayDimension[] dim # Array of dimension properties
+uint32 data_offset        # padding elements at front of data
+
+# Accessors should ALWAYS be written in terms of dimension stride
+# and specified outer-most dimension first.
+# 
+# multiarray(i,j,k) = data[data_offset + dim_stride[1]*i + dim_stride[2]*j + k]
+#
+# A standard, 3-channel 640x480 image with interleaved color channels
+# would be specified as:
+#
+# dim[0].label  = "height"
+# dim[0].size   = 480
+# dim[0].stride = 3*640*480 = 921600  (note dim[0] stride is just size of image)
+# dim[1].label  = "width"
+# dim[1].size   = 640
+# dim[1].stride = 3*640 = 1920
+# dim[2].label  = "channel"
+# dim[2].size   = 3
+# dim[2].stride = 3
+#
+# multiarray(i,j,k) refers to the ith row, jth column, and kth channel.
+
+================================================================================
+MSG: std_msgs/MultiArrayDimension
+string label   # label of given dimension
+uint32 size    # size of given dimension (in type units)
+uint32 stride  # stride of given dimension
+"""
+
+
+def _header_bytes(fields: Dict[bytes, bytes]) -> bytes:
+    out = b""
+    for k, v in fields.items():
+        entry = k + b"=" + v
+        out += struct.pack("<I", len(entry)) + entry
+    return out
+
+
+def _record(fields: Dict[bytes, bytes], data: bytes) -> bytes:
+    h = _header_bytes(fields)
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def u16(self, v: int):
+        self.buf += struct.pack("<H", v)
+
+    def u32(self, v: int):
+        self.buf += struct.pack("<I", v)
+
+    def f64(self, v: float):
+        self.buf += struct.pack("<d", v)
+
+    def string(self, s: str):
+        b = s.encode()
+        self.u32(len(b))
+        self.buf += b
+
+    def f32_array(self, a: np.ndarray):
+        self.buf += np.ascontiguousarray(a, dtype="<f4").tobytes()
+
+
+def encode_grid_map(msg: GridMapMessage, stamp_ns: int = 0) -> bytes:
+    """Serialize a GridMapMessage to the grid_map_msgs/GridMap wire format
+    (the exact inverse of decode_grid_map; column-major Float32MultiArrays
+    with grid_map's column_index/row_index dim labels)."""
+    w = _Writer()
+    # GridMapInfo.header
+    w.u32(0)  # seq
+    w.u32(stamp_ns // 1_000_000_000)
+    w.u32(stamp_ns % 1_000_000_000)
+    w.string(msg.frame_id)
+    w.f64(msg.resolution)
+    w.f64(msg.length[0])
+    w.f64(msg.length[1])
+    for v in msg.position:
+        w.f64(v)
+    for v in msg.orientation:
+        w.f64(v)
+    layers = msg.layers or list(msg.data)
+    w.u32(len(layers))
+    for name in layers:
+        w.string(name)
+    w.u32(len(msg.basic_layers))
+    for name in msg.basic_layers:
+        w.string(name)
+    w.u32(len(layers))
+    for name in layers:
+        mat = np.asarray(msg.data[name], dtype=np.float32)
+        rows, cols = mat.shape
+        # grid_map stores Eigen matrices column-major:
+        # dim[0]=column_index (outer), dim[1]=row_index (inner)
+        w.u32(2)
+        w.string("column_index")
+        w.u32(cols)
+        w.u32(rows * cols)
+        w.string("row_index")
+        w.u32(rows)
+        w.u32(rows)
+        w.u32(0)  # data_offset
+        w.u32(rows * cols)
+        w.f32_array(mat.T)  # column-major = transpose then C-order
+    w.u16(msg.outer_start_index)
+    w.u16(msg.inner_start_index)
+    return bytes(w.buf)
+
+
+def write_grid_map_bag(
+    path: str,
+    msg: GridMapMessage,
+    topic: str = "grid_map",
+    stamp_ns: int = 1_000_000_000,
+) -> None:
+    """Write one GridMap message into a rosbag v2.0 file.
+
+    Layout: magic, 4096-byte bag-header record, one uncompressed chunk
+    (connection record + message record), per-connection index-data record,
+    then the index section (connection record + chunk-info record) that
+    index_pos points at — the structure `rosbag record` produces.
+    """
+    secs, nsecs = stamp_ns // 1_000_000_000, stamp_ns % 1_000_000_000
+    time_field = struct.pack("<II", secs, nsecs)
+
+    conn_fields = {
+        b"topic": topic.encode(),
+        b"type": b"grid_map_msgs/GridMap",
+        b"md5sum": _GRID_MAP_MD5.encode(),
+        b"message_definition": _GRID_MAP_MSG_DEF.encode(),
+        b"latching": b"1",
+    }
+    conn_record = _record(
+        {b"op": bytes([_OP_CONNECTION]), b"conn": struct.pack("<I", 0),
+         b"topic": topic.encode()},
+        _header_bytes(conn_fields),
+    )
+    payload = encode_grid_map(msg, stamp_ns)
+    msg_record = _record(
+        {b"op": bytes([_OP_MSG]), b"conn": struct.pack("<I", 0),
+         b"time": time_field},
+        payload,
+    )
+    chunk_data = conn_record + msg_record
+
+    magic = b"#ROSBAG V2.0\n"
+    out = bytearray(magic)
+
+    # bag header record, padded to 4096 bytes total with spaces (bag spec)
+    def bag_header(index_pos: int) -> bytes:
+        fields = {
+            b"op": bytes([_OP_BAGHDR]),
+            b"index_pos": struct.pack("<Q", index_pos),
+            b"conn_count": struct.pack("<I", 1),
+            b"chunk_count": struct.pack("<I", 1),
+        }
+        h = _header_bytes(fields)
+        pad = 4096 - 4 - len(h) - 4
+        return struct.pack("<I", len(h)) + h + struct.pack("<I", pad) + b" " * pad
+
+    out += bag_header(0)  # placeholder; rewritten once index_pos is known
+    chunk_pos = len(out)
+    out += _record(
+        {b"op": bytes([_OP_CHUNK]), b"compression": b"none",
+         b"size": struct.pack("<I", len(chunk_data))},
+        chunk_data,
+    )
+    # index data: offset of the MESSAGE record within the uncompressed chunk
+    out += _record(
+        {b"op": bytes([_OP_INDEX]), b"ver": struct.pack("<I", 1),
+         b"conn": struct.pack("<I", 0), b"count": struct.pack("<I", 1)},
+        time_field + struct.pack("<I", len(conn_record)),
+    )
+    index_pos = len(out)
+    out += conn_record
+    out += _record(
+        {b"op": bytes([_OP_CHUNK_INFO]), b"ver": struct.pack("<I", 1),
+         b"chunk_pos": struct.pack("<Q", chunk_pos),
+         b"start_time": time_field, b"end_time": time_field,
+         b"count": struct.pack("<I", 1)},
+        struct.pack("<II", 0, 1),
+    )
+    out[len(magic) : len(magic) + 4096] = bag_header(index_pos)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def save_grid_map_bag(
+    path: str,
+    layers: Dict[str, np.ndarray],
+    resolution: float,
+    position=(0.0, 0.0),
+    frame_id: str = "map",
+    basic_layers=("traversability",),
+    topic: str = "grid_map",
+) -> None:
+    """Convenience wrapper: layer dict -> GridMapMessage -> bag file."""
+    first = next(iter(layers.values()))
+    rows, cols = np.asarray(first).shape
+    msg = GridMapMessage(
+        frame_id=frame_id,
+        resolution=resolution,
+        length=(rows * resolution, cols * resolution),
+        position=(float(position[0]), float(position[1]), 0.0),
+        orientation=(0.0, 0.0, 0.0, 1.0),
+        layers=list(layers),
+        basic_layers=[b for b in basic_layers if b in layers],
+        data={k: np.asarray(v, np.float32) for k, v in layers.items()},
+    )
+    write_grid_map_bag(path, msg, topic=topic)
