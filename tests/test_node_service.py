@@ -1,0 +1,190 @@
+"""Node orchestrator + TCP service front-end tests (L4/L5 parity).
+
+Covers the reference's process-level behaviors: periodic timer updates,
+latched map publication, the 7-service API over the wire, pushed inputs
+(initial grid map gate), and hot parameter reload
+(TraversabilityEstimation.cpp:22-71, 172-200, 224-246, 331-377).
+"""
+
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import synthetic_terrain
+from traversability_estimation_tpu.node import TraversabilityNode
+from traversability_estimation_tpu.service import (
+    TraversabilityClient,
+    TraversabilityServer,
+)
+from traversability_estimation_tpu.utils.config import EstimatorConfig
+from traversability_estimation_tpu.utils.sources import ArraySource
+
+RES = 0.03
+
+
+def _source(seed=0, n=48):
+    return ArraySource(
+        elevation=synthetic_terrain(n, n, RES, seed=seed), resolution=RES
+    )
+
+
+def test_timer_loop_updates_and_publishes():
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=20.0, map_length=(1.0, 1.0))
+    node = TraversabilityNode(cfg, source=_source())
+    seen = []
+    node.subscribe(seen.append)
+    with node:
+        deadline = time.time() + 30.0
+        while node.update_count < 3 and time.time() < deadline:
+            time.sleep(0.02)
+    assert node.update_count >= 3
+    assert len(seen) >= 3
+    assert "traversability" in seen[-1].layers
+
+
+def test_persistent_map_mode_merges_submaps():
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0, map_length=(0.6, 0.6))
+    pose = {"xy": (-0.3, -0.3)}
+    node = TraversabilityNode(
+        cfg,
+        source=_source(seed=5, n=64),
+        robot_pose=lambda: pose["xy"],
+        persistent_map_length=(64 * RES, 64 * RES),
+    )
+    assert node.update_traversability()
+    rows, cols = node.estimator.traversability_map.size
+    assert (rows, cols) == (64, 64)  # world map, not the submap size
+    valid_1 = np.isfinite(
+        np.asarray(node.estimator.traversability_map["elevation"])
+    ).sum()
+    pose["xy"] = (0.3, 0.3)  # robot moved; second submap adds coverage
+    assert node.update_traversability()
+    valid_2 = np.isfinite(
+        np.asarray(node.estimator.traversability_map["elevation"])
+    ).sum()
+    assert valid_2 > valid_1
+
+
+def test_latched_publication_replays_last_map():
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0, map_length=(1.0, 1.0))
+    node = TraversabilityNode(cfg, source=_source())
+    assert not node.timer_enabled  # rate 0 disables the timer (cpp:38-42)
+    assert node.request_update()  # runs inline when the timer is off
+    late = []
+    node.subscribe(late.append)  # subscribes AFTER the publish
+    assert len(late) == 1  # latched replay
+
+
+def test_initial_grid_map_gate():
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0)
+    node = TraversabilityNode(cfg)
+    elev = synthetic_terrain(32, 32, RES, seed=2)
+    assert node.push_initial_grid_map(elev)
+    # second push refused: map already initialized (cpp:331-337)
+    assert not node.push_initial_grid_map(elev * 2.0)
+
+
+def test_update_parameters_hot_reload():
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0)
+    node = TraversabilityNode(cfg)
+    node.push_initial_grid_map(synthetic_terrain(32, 32, RES, seed=3))
+    new = dataclasses.replace(cfg, min_update_rate=5.0)
+    assert node.update_parameters(config=new)
+    assert node.timer_enabled
+    assert node.config.min_update_rate == 5.0
+
+
+@pytest.fixture()
+def server():
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0, map_length=(1.0, 1.0))
+    node = TraversabilityNode(cfg, source=_source(seed=7))
+    with TraversabilityServer(node) as srv:
+        yield srv
+
+
+def test_service_roundtrip_all_seven(server, tmp_path):
+    host, port = server.address
+    with TraversabilityClient(host, port) as cli:
+        # 1. update_traversability
+        resp = cli.update_traversability()
+        assert resp["ok"] and resp["map_info"]["size"] == [33, 33]
+
+        # 2. get_traversability with layer payloads
+        resp = cli.get_traversability(layers=["traversability", "elevation"])
+        assert resp["ok"]
+        trav = resp["data"]["traversability"]
+        assert trav.shape == tuple(resp["map_info"]["size"])
+        assert np.isfinite(trav).any()
+
+        # 3. check_footprint_path: circular + polygonal in one request
+        resp = cli.check_footprint_path(
+            [
+                {"poses": [[0.0, 0.0], [0.1, 0.05]], "radius": 0.1},
+                {
+                    "poses": [[0.0, 0.0]],
+                    "footprint": [[0.1, 0.08], [0.1, -0.08], [-0.1, -0.08], [-0.1, 0.08]],
+                },
+            ]
+        )
+        assert resp["ok"] and len(resp["results"]) == 2
+        for r in resp["results"]:
+            assert 0.0 <= r["traversability"] <= 1.0
+
+        # 4. traversability_footprint (dense layers appear)
+        resp = cli.traversability_footprint()
+        assert resp["ok"]
+        assert "traversability_x" in resp["map_info"]["layers"]
+
+        # 5. save + 6. load round trip through the bag checkpoint
+        ckpt = str(tmp_path / "srv.bag")
+        assert cli.save_traversability_map_to_bag(ckpt)["ok"]
+        assert cli.load_elevation_map(ckpt)["ok"]
+
+        # 7. update_parameters from reference YAML
+        resp = cli.update_parameters(
+            footprint_yaml="/root/reference/traversability_estimation/config/robot_footprint_parameter.yaml"
+        )
+        assert resp["ok"]
+
+        # error paths stay JSON
+        resp = cli.call("no_such_service")
+        assert not resp["ok"] and "unknown service" in resp["error"]
+        resp = cli.get_traversability(layers=["nope"])
+        assert not resp["ok"]
+
+
+def test_service_push_elevation(server):
+    host, port = server.address
+    # fresh uninitialized node? server fixture node is uninitialized until
+    # an update; push an initial map over the wire instead
+    with TraversabilityClient(host, port) as cli:
+        elev = synthetic_terrain(24, 24, RES, seed=11)
+        assert cli.set_elevation_map(elev, (0.1, -0.2))["ok"]
+        resp = cli.get_traversability(layers=["elevation"])
+        assert resp["ok"]
+        np.testing.assert_array_equal(
+            np.nan_to_num(resp["data"]["elevation"], nan=-1.0),
+            np.nan_to_num(elev, nan=-1.0),
+        )
+        assert resp["map_info"]["position"][:2] == pytest.approx([0.1, -0.2])
+
+
+def test_cli_run_golden(tmp_path, capsys):
+    import os
+
+    bag = "/root/reference/traversability_estimation/maps/elevation_map.bag"
+    if not os.path.exists(bag):
+        pytest.skip("golden bag not available")
+    from traversability_estimation_tpu.__main__ import main
+
+    out_bag = str(tmp_path / "cli.bag")
+    rc = main(
+        ["run", "--map", bag, "--check", "0,0", "0.3,0.2", "--save", out_bag]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "map 100x133" in captured
+    assert "path check" in captured
+    assert os.path.exists(out_bag)

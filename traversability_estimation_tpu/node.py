@@ -1,0 +1,241 @@
+"""TraversabilityNode — the process-level orchestrator (L5/L4 parity).
+
+The reference boots a ROS node that wires a periodic update timer, an
+elevation-submap service client, two subscribers, three publishers, and seven
+services around the core engine
+(/root/reference/traversability_estimation/src/traversability_estimation_node.cpp:12-22,
+TraversabilityEstimation.cpp:22-71). This is its single-controller analog:
+
+- the unbounded callback thread pool (`ros::AsyncSpinner(0)`) + two recursive
+  mutexes become ONE background timer thread and an estimator whose map state
+  is an immutable pytree swapped atomically — readers never block updates;
+- the elevation_mapping service client (requestElevationMap,
+  TraversabilityEstimation.cpp:248-270) becomes an ``ElevationSource``
+  callable (utils/sources.py) sampled robot-centric each tick, with the
+  robot->map transform supplied by a pose callable (the tf lookup analog);
+- the latched ``traversability_map`` topic (TraversabilityMap.cpp:57) becomes
+  subscriber callbacks that replay the last published map on subscribe;
+- the image topic (imageCallback, TraversabilityEstimation.cpp:154-168) and
+  the ``~initial_elevation_map`` topic (gridMapToInitTraversabilityMapCallback
+  :364-377) become ``push_image`` / ``push_initial_grid_map``.
+
+The 7 services are served in-process by these methods, and over the wire by
+``traversability_estimation_tpu.service`` (a JSON-lines TCP front end for
+planner-in-the-loop runs).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from traversability_estimation_tpu.grid.gridmap import GridMap
+from traversability_estimation_tpu.models import (
+    FootprintPath,
+    TraversabilityEstimator,
+    TraversabilityResult,
+)
+from traversability_estimation_tpu.utils.config import EstimatorConfig, load_config
+
+
+class TraversabilityNode:
+    def __init__(
+        self,
+        config: Optional[EstimatorConfig] = None,
+        source=None,
+        robot_pose: Optional[Callable[[], Tuple[float, float]]] = None,
+        persistent_map_length: Optional[Tuple[float, float]] = None,
+    ):
+        """`source` provides robot-centric elevation submaps
+        (utils/sources.py protocol: sample(center_xy, length_xy)); `robot_pose`
+        returns the robot position in the map frame — the tf
+        transformPoint analog (TraversabilityEstimation.cpp:250-257). With no
+        source, updates only happen via pushed inputs (image / initial grid
+        map / explicit update), like the reference when its submap service is
+        absent.
+
+        `persistent_map_length`: reference parity is a robot-centric map
+        REPLACED each tick (setElevationMap, TraversabilityMap.cpp:135); pass
+        a (len_x, len_y) here to instead maintain a large persistent world
+        map that submaps merge into incrementally (our extension — BASELINE
+        config 4's online loop)."""
+        self.config = config or EstimatorConfig()
+        self.estimator = TraversabilityEstimator(self.config)
+        self.source = source
+        self.persistent_map_length = persistent_map_length
+        if persistent_map_length is not None:
+            res = self.config.resolution
+            rows = int(round(persistent_map_length[0] / res))
+            cols = int(round(persistent_map_length[1] / res))
+            self.estimator.set_elevation_map(
+                np.full((rows, cols), np.nan, np.float32), self.config.map_center
+            )
+        self.robot_pose = robot_pose or (lambda: (0.0, 0.0))
+        self._subscribers: List[Callable[[GridMap], None]] = []
+        self._last_published: Optional[GridMap] = None
+        self._lock = threading.Lock()
+        self._timer: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.update_count = 0
+        # min_update_rate==0 disables the timer with a warning, matching
+        # TraversabilityEstimation.cpp:38-42
+        self.timer_enabled = self.config.min_update_rate > 0.0
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> None:
+        """Begin periodic updates (node main + createTimer parity)."""
+        if not self.timer_enabled or self._timer is not None:
+            return
+        self._stop.clear()
+        self._timer = threading.Thread(target=self._timer_loop, daemon=True)
+        self._timer.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._timer is not None:
+            self._timer.join(timeout=30.0)
+            self._timer = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def _timer_loop(self) -> None:
+        period = 1.0 / self.config.min_update_rate
+        while not self._stop.is_set():
+            t0 = time.time()
+            try:
+                self.update_traversability()
+            except Exception:  # noqa: BLE001 — a failed tick must not kill the loop
+                import logging
+
+                logging.getLogger(__name__).exception("update tick failed")
+            self._stop.wait(max(0.0, period - (time.time() - t0)))
+
+    # -- topics (publish/subscribe analog) -----------------------------------
+    def subscribe(self, callback: Callable[[GridMap], None]) -> None:
+        """Register a map listener. Latched-topic parity: a new subscriber
+        immediately receives the last published map
+        (TraversabilityMap.cpp:57 latched publisher)."""
+        with self._lock:
+            self._subscribers.append(callback)
+            last = self._last_published
+        if last is not None:
+            callback(last)
+
+    def _publish(self) -> None:
+        gm = self.estimator.traversability_map
+        with self._lock:
+            self._last_published = gm
+            subs = list(self._subscribers)
+        for cb in subs:
+            cb(gm)
+
+    # -- the periodic update (updateTimerCallback -> updateTraversability) ---
+    def update_traversability(self) -> bool:
+        """One tick: request a robot-centric submap from the source, merge,
+        recompute, publish (TraversabilityEstimation.cpp:202-222)."""
+        if self.source is not None:
+            center = tuple(map(float, self.robot_pose()))
+            patch, pos = self.source.sample(center, self.config.map_length)
+            if self.persistent_map_length is not None:
+                # extension: merge into the persistent world map, refresh
+                # only the affected region
+                ok = self.estimator.update_with_submap(patch, tuple(np.asarray(pos)))
+            else:
+                # reference parity: the map IS the fresh robot-centric submap
+                ok = self.estimator.update(patch, position=np.asarray(pos))
+        else:
+            ok = self.estimator.update()
+        if ok:
+            self.update_count += 1
+            self._publish()
+        return ok
+
+    # -- services (TraversabilityEstimation.cpp:44-52) ------------------------
+    def request_update(self, timeout: float = 10.0) -> bool:
+        """``update_traversability`` service: if the timer is disabled, run
+        the update inline; then wait until the map is initialized
+        (updateServiceCallback, TraversabilityEstimation.cpp:172-200 — the
+        reference busy-waits sleep(1); we poll at 10 ms)."""
+        if not self.timer_enabled:
+            if not self.update_traversability():
+                return False
+        deadline = time.time() + timeout
+        while not self.estimator.initialized:
+            if time.time() > deadline:
+                return False
+            time.sleep(0.01)
+        return True
+
+    def check_footprint_path(self, paths) -> List[TraversabilityResult]:
+        return self.estimator.check_footprint_path(paths)
+
+    def get_traversability_map(self) -> GridMap:
+        return self.estimator.traversability_map
+
+    def traversability_footprint(self) -> GridMap:
+        return self.estimator.traversability_footprint(self.config.footprint_yaw)
+
+    def load_elevation_map(self, path: str) -> bool:
+        ok = self.estimator.load_elevation_map(path)
+        if ok:
+            self._publish()
+        return ok
+
+    def save_traversability_map_to_bag(self, path: str) -> bool:
+        self.estimator.save(path)
+        return True
+
+    def update_parameters(
+        self,
+        config: Optional[EstimatorConfig] = None,
+        robot_yaml: Optional[str] = None,
+        filter_yaml: Optional[str] = None,
+        footprint_yaml: Optional[str] = None,
+    ) -> bool:
+        """``update_parameters`` service: accept a typed config or re-read
+        YAML files (the rosparam-load analog, TraversabilityEstimation.cpp:
+        224-246); the next update re-jits with the new static config."""
+        if config is None:
+            config = load_config(
+                robot_yaml=robot_yaml,
+                filter_yaml=filter_yaml,
+                footprint_yaml=footprint_yaml,
+                resolution=self.config.resolution,
+            )
+        self.config = config
+        self.timer_enabled = config.min_update_rate > 0.0
+        return self.estimator.update_parameters(config)
+
+    # -- pushed inputs (subscriber analogs) -----------------------------------
+    def push_image(
+        self,
+        image: np.ndarray,
+        min_height: float,
+        max_height: float,
+        position=(0.0, 0.0),
+    ) -> None:
+        """imageCallback parity: grayscale image -> elevation in
+        [min_height, max_height]; traversability recomputed on the next tick
+        (TraversabilityEstimation.cpp:154-168)."""
+        self.estimator.set_elevation_from_image(image, min_height, max_height, position)
+
+    def push_initial_grid_map(self, elevation: np.ndarray, position=(0.0, 0.0)) -> bool:
+        """``~initial_elevation_map`` topic parity: only accepted while the
+        traversability map is uninitialized
+        (initializeTraversabilityMapFromGridMap guard,
+        TraversabilityEstimation.cpp:331-337)."""
+        if self.estimator.initialized:
+            return False
+        self.estimator.set_elevation_map(np.asarray(elevation), position)
+        ok = self.estimator.update()
+        if ok:
+            self._publish()
+        return ok
