@@ -125,43 +125,91 @@ def main():
     est.update(elev)
     t_update_first = time.perf_counter() - t0
     log(f"first update (incl. compile): {t_update_first:.1f}s")
-    # amortized steady state: async dispatch of R calls, one barrier at the
-    # end (hides the tunnel's fixed per-call latency, measures device time)
-    from traversability_estimation_tpu.models.estimator import _update_step
+
+    # Measurement methodology: this host reaches the chip through a tunnel
+    # with ~24 ms fixed round-trip latency, and its client reports arrays
+    # "ready" before device execution finishes — naive block_until_ready
+    # timing is meaningless here. We therefore time K data-chained iterations
+    # inside ONE jitted lax.scan (each iteration consumes a scalar from the
+    # previous one, so nothing can be elided or overlapped) and force true
+    # completion with a host fetch of the final scalar; per-iteration device
+    # time = (wall - tunnel_rtt) / K.
     import jax.numpy as jnp
 
+    from traversability_estimation_tpu.ops import filters as chain_ops
+    from traversability_estimation_tpu.ops import footprint as fp_ops
+    from traversability_estimation_tpu.ops import veto as veto_ops
+
+    TUNNEL_RTT = 0.024
     elev_dev = jnp.asarray(elev)
     ccfg, vcfg = est.config.chain, est.config.veto
-    _update_step(elev_dev, ccfg, vcfg)  # warm
-    R = 10
+
+    K_UPD = 64
+
+    @jax.jit
+    def update_loop(e):
+        def body(carry, _):
+            layers = chain_ops.run_chain(carry, ccfg)
+            veto = veto_ops.compute_veto_fields(
+                {
+                    "elevation": carry,
+                    "traversability_slope": layers["traversability_slope"],
+                    "traversability_step": layers["traversability_step"],
+                },
+                vcfg,
+            )
+            nxt = carry + 1e-12 * jnp.nan_to_num(layers["traversability"][0, 0])
+            return nxt, veto["traversable_mask"][0, 0]
+        eK, _ = jax.lax.scan(body, e, None, length=K_UPD)
+        return eK[0, 0]
+
+    np.asarray(update_loop(elev_dev))  # compile + warm
     t0 = time.perf_counter()
-    outs = [_update_step(elev_dev, ccfg, vcfg) for _ in range(R)]
-    jax.block_until_ready(outs)
-    t_update = (time.perf_counter() - t0) / R
-    log(f"map update steady: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
+    np.asarray(update_loop(elev_dev))
+    t_update = (time.perf_counter() - t0 - TUNNEL_RTT) / K_UPD
+    log(f"map update true: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
 
     rng = np.random.default_rng(3)
     P, N = 1024, 50
     extent = H * res / 2 * 0.8
     poses = make_paths(rng, P, N, extent)
-    n_poses = np.full((P,), N, np.int32)
+    n_poses_np = np.full((P,), N, np.int32)
 
     radius = 0.3
     t0 = time.perf_counter()
-    safe, trav = est.check_circular_paths_batch(poses, n_poses, radius)
-    jax.block_until_ready((safe, trav))
+    safe, trav = est.check_circular_paths_batch(poses, n_poses_np, radius)
+    safe = np.asarray(safe)
     log(f"first path batch (incl. compile): {time.perf_counter()-t0:.1f}s")
-    reps = 10
+
+    offset = est.config.footprint.circular_footprint_offset
+    max_cells = est._max_segment_cells(poses, n_poses_np)
+    state = est.query_state
+    field = est._circle_field(float(radius), float(offset))
+    poses_dev = jnp.asarray(poses)
+    n_poses = jnp.asarray(n_poses_np)
+
+    K_QRY = 32
+
+    @jax.jit
+    def query_loop(p):
+        def body(carry, _):
+            s, t = fp_ops.check_circular_paths(
+                state, carry, n_poses, radius, offset, max_cells, field, False
+            )
+            nxt = carry + 1e-9 * t[:, None, None]
+            return nxt, t[0]
+        pK, _ = jax.lax.scan(body, p, None, length=K_QRY)
+        return pK[0, 0, 0]
+
+    np.asarray(query_loop(poses_dev))  # compile + warm
     t0 = time.perf_counter()
-    outs = [est.check_circular_paths_batch(poses, n_poses, radius) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
-    safe, trav = outs[-1]
+    np.asarray(query_loop(poses_dev))
+    dt = (time.perf_counter() - t0 - TUNNEL_RTT) / K_QRY
     checks = P * N
     checks_per_sec = checks / dt
     log(
-        f"path batch steady: {dt*1e3:.2f} ms for {P} paths x {N} poses "
-        f"-> {checks_per_sec:,.0f} pose-checks/s (safe {int(np.asarray(safe).sum())}/{P})"
+        f"path batch true: {dt*1e3:.2f} ms for {P} paths x {N} poses "
+        f"-> {checks_per_sec:,.0f} pose-checks/s (safe {int(safe.sum())}/{P})"
     )
 
     layers = {
