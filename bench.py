@@ -201,6 +201,39 @@ def main():
         pK, _ = jax.lax.scan(body, p, None, length=K_QRY)
         return pK[0, 0, 0]
 
+    # BASELINE config 3's polygonal variant: same 1024 paths x 50 poses swept
+    # by the reference footprint rectangle (hulls of consecutive footprints)
+    footprint = np.asarray(est.config.footprint.footprint_polygon, np.float32)
+    seg = np.linalg.norm(np.diff(poses, axis=1), axis=-1)
+    window = fp_ops.polygon_window_cells(footprint, float(seg.max()), res, False)
+    pos3 = jnp.asarray(
+        np.concatenate([poses, np.zeros((P, N, 1), np.float32)], -1)
+    )
+    quats = np.zeros((P, N, 4), np.float32)
+    quats[..., 3] = 1.0
+    quats_dev = jnp.asarray(quats)
+
+    K_POLY = 4
+
+    @jax.jit
+    def poly_loop(p):
+        def body(carry, _):
+            s, t, a = fp_ops.check_polygonal_paths(
+                state, carry, quats_dev, n_poses, footprint, window, False
+            )
+            return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
+        pK, _ = jax.lax.scan(body, p, None, length=K_POLY)
+        return pK[0, 0, 0]
+
+    np.asarray(poly_loop(pos3))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(poly_loop(pos3))
+    dt_poly = (time.perf_counter() - t0 - TUNNEL_RTT) / K_POLY
+    log(
+        f"polygonal batch true: {dt_poly*1e3:.2f} ms for {P} paths x {N} poses "
+        f"(swept-hull rectangle) -> {P*N/dt_poly/1e6:.2f} M pose-checks/s"
+    )
+
     np.asarray(query_loop(poses_dev))  # compile + warm
     t0 = time.perf_counter()
     np.asarray(query_loop(poses_dev))
