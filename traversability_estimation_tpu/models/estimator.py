@@ -95,6 +95,40 @@ class TraversabilityEstimator:
         }
         return True
 
+    def set_elevation_map_msg(self, msg) -> bool:
+        """GridMapMessage ingest with the reference's validation parity
+        (TraversabilityMap::setElevationMap, TraversabilityMap.cpp:135-154):
+        reject on frame-id mismatch and on any missing required elevation
+        layer (fused: elevation/upper_bound/lower_bound; raw adds variance &
+        horizontal variances & time — createLayers, :64-77)."""
+        if msg.frame_id and msg.frame_id != self.config.map_frame_id:
+            return False
+        for layer in self.config.elevation_layers:
+            if layer not in msg.data:
+                return False
+        extra = {k: v for k, v in msg.data.items() if k != "elevation"}
+        return self.set_elevation_map(
+            msg.data["elevation"],
+            np.asarray(msg.position[:2], np.float32),
+            extra_layers=extra,
+        )
+
+    def initialize_from_grid_map_msg(self, msg) -> bool:
+        """loadElevationMap's lenient path: pad MISSING required layers with
+        0.0 before ingest (initializeTraversabilityMapFromGridMap,
+        TraversabilityEstimation.cpp:331-362)."""
+        data = dict(msg.data)
+        first = next(iter(data.values()))
+        for layer in self.config.elevation_layers:
+            if layer not in data:
+                data[layer] = np.zeros_like(np.asarray(first, np.float32))
+        extra = {k: v for k, v in data.items() if k != "elevation"}
+        return self.set_elevation_map(
+            data["elevation"],
+            np.asarray(msg.position[:2], np.float32),
+            extra_layers=extra,
+        )
+
     def set_elevation_from_image(
         self,
         image: np.ndarray,
@@ -761,9 +795,8 @@ class TraversabilityEstimator:
             from traversability_estimation_tpu.utils.rosbag import load_grid_map_bag
 
             msg = load_grid_map_bag(path)
-            self.set_elevation_map(
-                msg.data["elevation"], np.asarray(msg.position[:2], np.float32)
-            )
+            if not self.initialize_from_grid_map_msg(msg):
+                return False
         else:
             blob = np.load(path)
             self.set_elevation_map(blob["layer_elevation"], blob["position"])

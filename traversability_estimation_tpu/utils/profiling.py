@@ -58,10 +58,40 @@ def device_trace(out_dir: str):
 
 
 def timed_device(fn, *args, reps: int = 10, **kwargs):
-    """Median device time of fn(*args) with async-dispatch amortization."""
+    """Mean wall time of fn(*args) with async-dispatch amortization. NOTE:
+    on transports that ack readiness early (axon tunnel) this measures
+    dispatch throughput, not device compute — use ``chained_device_time``
+    for true per-call device time."""
     out = fn(*args, **kwargs)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     outs = [fn(*args, **kwargs) for _ in range(reps)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / reps, outs[-1]
+
+
+def chained_device_time(fn, x, iters: int = 16, rtt: float = 0.0):
+    """TRUE per-call device time of ``fn(x)`` (x: one array), robust to
+    transports whose clients ack readiness before execution finishes (the
+    axon tunnel does — block_until_ready there measures dispatch, not
+    compute). Runs `iters` data-chained calls inside one jitted lax.scan and
+    forces completion with a host fetch of a scalar; pass the transport's
+    fixed round-trip latency as `rtt` to subtract it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def loop(a):
+        def body(carry, _):
+            out = fn(carry)
+            leaves = jax.tree_util.tree_leaves(out)
+            probe = sum(jnp.ravel(l)[0].astype(jnp.float32) for l in leaves)
+            return carry + jnp.float32(1e-18) * probe, None
+
+        aK, _ = jax.lax.scan(body, a, None, length=iters)
+        return jnp.ravel(aK)[0]
+
+    np.asarray(loop(x))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(loop(x))
+    return max(time.perf_counter() - t0 - rtt, 0.0) / iters
