@@ -33,13 +33,16 @@ def _source(seed=0, n=48):
 def test_timer_loop_updates_and_publishes():
     cfg = EstimatorConfig(resolution=RES, min_update_rate=20.0, map_length=(1.0, 1.0))
     node = TraversabilityNode(cfg, source=_source())
+    # warm the jit compile inline so the timed loop below measures the timer,
+    # not XLA compilation under full-suite CPU contention
+    assert node.update_traversability()
     seen = []
     node.subscribe(seen.append)
     with node:
-        deadline = time.time() + 30.0
-        while node.update_count < 3 and time.time() < deadline:
+        deadline = time.time() + 60.0
+        while node.update_count < 4 and time.time() < deadline:
             time.sleep(0.02)
-    assert node.update_count >= 3
+    assert node.update_count >= 4  # 1 inline + >=3 timer ticks
     assert len(seen) >= 3
     assert "traversability" in seen[-1].layers
 

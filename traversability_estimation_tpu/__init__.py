@@ -19,10 +19,17 @@ Layout
                  (the API surface that replaces the reference's ROS node).
 - ``parallel`` : mesh sharding — tiled map updates with halo exchange, pose-
                  batch sharded footprint evaluation, multi-host entry points.
-- ``utils``    : config (reference-YAML compatible), rosbag reader for the
-                 golden maps, snapshots, synthetic terrain, profiling.
+- ``utils``    : config (reference-YAML compatible), rosbag reader AND writer
+                 (checkpoint parity), snapshots, synthetic terrain, profiling,
+                 visualization exports (occupancy grid / point cloud).
 - ``oracle``   : NumPy reference oracle with the exact semantics of the C++
                  implementation; the referee for every kernel test.
+- ``node``     : process-level orchestrator (timer loop, latched publication,
+                 pushed inputs) — the ROS-node analog.
+- ``service``  : JSON-lines TCP front end + client exposing the reference's
+                 seven services for out-of-process planners.
+
+CLI: ``python -m traversability_estimation_tpu run|serve``.
 """
 
 from traversability_estimation_tpu.grid.gridmap import GridMap
