@@ -1,0 +1,126 @@
+"""Tiled (unreplicated-map) query tests: pmin/psum verdict reduction.
+
+The large-map scaling mode computes the dense circle field per tile with
+halo exchange and answers path batches with every device sampling its own
+tile + one psum over the mesh. Both must be bit-identical to the unsharded
+evaluators (single-pose paths excepted — documented cell-center deviation).
+Runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import synthetic_terrain
+from traversability_estimation_tpu.ops import footprint as fp_ops
+from traversability_estimation_tpu.parallel import sharding as sh
+
+RES = 0.03
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = sh.make_mesh()
+    assert mesh.devices.size == 8
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.ops.veto import VetoConfig
+
+    ccfg = ChainConfig(resolution=RES)
+    vcfg = VetoConfig(resolution=RES, check_roughness=False)
+    gx, gy = mesh.devices.shape
+    H, W = 30 * gx, 30 * gy  # uneven vs tile to exercise cross-tile spirals
+    elev = synthetic_terrain(H, W, RES, seed=6, nan_frac=0.03)
+    layers = sh.sharded_update(jnp.asarray(elev), ccfg, vcfg, mesh)
+    state = fp_ops.QueryState(
+        traversability=jax.device_get(layers["traversability"]),
+        traversable_mask=jax.device_get(layers["traversable_mask"]),
+        position=jnp.zeros((2,), jnp.float32),
+        resolution=RES,
+        default_traversability=0.5,
+    )
+    return mesh, layers, state, (H, W)
+
+
+RADIUS, OFFSET = 0.12, 0.06
+
+
+def test_sharded_circle_field_matches_unsharded(setup):
+    mesh, layers, state, _ = setup
+    ok_t, tv_t = sh.sharded_circle_field(
+        layers, mesh, RADIUS + OFFSET, RADIUS, RES, 0.5
+    )
+    ok_r, tv_r = fp_ops.dense_circle_field(state, RADIUS + OFFSET, RADIUS)
+    np.testing.assert_array_equal(np.asarray(ok_t), np.asarray(ok_r))
+    np.testing.assert_array_equal(np.asarray(tv_t), np.asarray(tv_r))
+
+
+def test_tiled_paths_match_local(setup):
+    mesh, layers, state, (H, W) = setup
+    rng = np.random.default_rng(11)
+    P, N = 64, 6
+    extent_x, extent_y = H * RES / 2, W * RES / 2
+    starts = np.stack(
+        [rng.uniform(-extent_x, extent_x, P), rng.uniform(-extent_y, extent_y, P)],
+        -1,
+    )
+    steps = rng.uniform(-0.15, 0.15, (P, N - 1, 2))  # long segs cross tiles
+    poses = np.concatenate(
+        [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+    ).astype(np.float32)
+    n_poses = rng.integers(2, N + 1, P).astype(np.int32)
+    max_cells = 64
+
+    field = sh.sharded_circle_field(layers, mesh, RADIUS + OFFSET, RADIUS, RES, 0.5)
+    safe_t, trav_t = sh.check_circular_paths_tiled(
+        field[0], field[1], poses, n_poses, mesh, (0.0, 0.0), RES, max_cells
+    )
+
+    field_ref = fp_ops.dense_circle_field(state, RADIUS + OFFSET, RADIUS)
+    safe_r, trav_r = fp_ops.check_circular_paths(
+        state, poses, n_poses, RADIUS, OFFSET, max_cells, field_ref, False
+    )
+    np.testing.assert_array_equal(np.asarray(safe_t), np.asarray(safe_r))
+    np.testing.assert_allclose(
+        np.asarray(trav_t), np.asarray(trav_r), rtol=0, atol=0
+    )
+
+
+def test_tiled_paths_offmap_default(setup):
+    mesh, layers, state, (H, W) = setup
+    far = 100.0
+    poses = np.asarray(
+        [[[far, far], [far + 0.1, far]]], np.float32
+    )
+    field = sh.sharded_circle_field(layers, mesh, RADIUS + OFFSET, RADIUS, RES, 0.5)
+    safe, trav = sh.check_circular_paths_tiled(
+        field[0], field[1], poses, np.array([2], np.int32), mesh,
+        (0.0, 0.0), RES, 16,
+    )
+    # every sample off-map -> default verdict & score (cpp:662-667)
+    assert bool(np.asarray(safe)[0]) is True
+    assert np.asarray(trav)[0] == pytest.approx(0.5)
+
+
+def test_tiled_single_pose_cell_center(setup):
+    mesh, layers, state, (H, W) = setup
+    rng = np.random.default_rng(3)
+    P = 16
+    centers = np.stack(
+        [rng.uniform(-0.3, 0.3, P), rng.uniform(-0.3, 0.3, P)], -1
+    ).astype(np.float32)
+    poses = np.concatenate([centers[:, None], centers[:, None]], 1)
+    n_poses = np.ones((P,), np.int32)
+    field = sh.sharded_circle_field(layers, mesh, RADIUS + OFFSET, RADIUS, RES, 0.5)
+    safe, trav = sh.check_circular_paths_tiled(
+        field[0], field[1], poses, n_poses, mesh, (0.0, 0.0), RES, 16
+    )
+    # documented deviation: single-pose scored from the field at the CELL
+    # CENTER — compare against the field lookup directly
+    ok_r, tv_r = (np.asarray(a) for a in field)
+    p0 = np.array([H, W]) * RES / 2
+    idx = np.floor((p0 - centers) / RES).astype(int)
+    exp_ok = ok_r[idx[:, 0], idx[:, 1]]
+    exp_tv = np.where(exp_ok, tv_r[idx[:, 0], idx[:, 1]], 0.0)
+    np.testing.assert_array_equal(np.asarray(safe), exp_ok)
+    np.testing.assert_allclose(np.asarray(trav), exp_tv, atol=0)

@@ -228,7 +228,10 @@ def traversability_footprint_circles(
 
 
 def dense_circle_field(
-    state: QueryState, radius_max: float, radius_min: float
+    state: QueryState,
+    radius_max: float,
+    radius_min: float,
+    in_map: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Per-cell circular footprint verdict for a query centered at each CELL
     CENTER — the dense realization of the reference's ``traversability_footprint``
@@ -238,6 +241,11 @@ def dense_circle_field(
     Computed with ZERO gathers: a ``lax.scan`` over the static spiral offset
     order, each step reading a shifted plane via dynamic_slice of a padded
     buffer — the whole map's spiral scans advance in lockstep.
+
+    `in_map`: optional (H, W) bool — cells flagged False behave exactly like
+    cells beyond the map edge (they contribute nothing to any spiral). Used
+    by the tiled/sharded path, where a tile's halo may extend past the global
+    map or into mesh-divisibility padding.
 
     Returns (ok (H, W) bool, trav (H, W) f32).
     """
@@ -261,12 +269,17 @@ def dense_circle_field(
         state.traversability,
         state.default_traversability,
     )
+    if in_map is not None:
+        fail_plane = fail_plane & in_map
+        in_plane = in_map.astype(jnp.float32)
+    else:
+        in_plane = jnp.ones((H, W), jnp.float32)
     pad_fail = jnp.pad(fail_plane, R, constant_values=False)
     pad_pass = jnp.pad(
-        (~fail_plane).astype(jnp.float32), R, constant_values=0.0
+        (~fail_plane).astype(jnp.float32) * in_plane, R, constant_values=0.0
     )
-    pad_tv = jnp.pad(tv * (~fail_plane), R, constant_values=0.0)
-    pad_in = jnp.pad(jnp.ones((H, W), jnp.float32), R, constant_values=0.0)
+    pad_tv = jnp.pad(tv * (~fail_plane) * in_plane, R, constant_values=0.0)
+    pad_in = jnp.pad(in_plane, R, constant_values=0.0)
 
     offs = jnp.asarray(offs_np, jnp.int32)
     radii = jnp.asarray(radii_np, jnp.float32)
@@ -385,6 +398,26 @@ def check_circular_paths(
     ok_s, _ = _gather_plane(field_ok, s_cells, default != 0.0)
     trav_s, _ = _gather_plane(field_trav, s_cells, default)
 
+    return aggregate_sampled_segments(
+        ok_s, trav_s, s_valid, seg_valid, starts, ends, n_poses, ok1, trav1
+    )
+
+
+def aggregate_sampled_segments(
+    ok_s: Array,
+    trav_s: Array,
+    s_valid: Array,
+    seg_valid: Array,
+    starts: Array,
+    ends: Array,
+    n_poses: Array,
+    ok1: Array,
+    trav1: Array,
+) -> Tuple[Array, Array]:
+    """Segment -> path aggregation shared by the local and tiled circular
+    path checkers: per-segment all-samples-ok + sample-mean, then
+    length-weighted path mean (TraversabilityMap.cpp:441-456 with the
+    uninitialized-lengthPath bug fixed, PARITY.md item 2)."""
     s_active = s_valid & seg_valid[..., None]
     seg_ok = jnp.all(ok_s | ~s_active, axis=-1)  # (P, N-1)
     n_s = jnp.maximum(jnp.sum(s_active, axis=-1), 1)

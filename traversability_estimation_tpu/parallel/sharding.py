@@ -228,3 +228,163 @@ def pad_to_mesh(elevation: np.ndarray, mesh: Mesh) -> Tuple[np.ndarray, Tuple[in
     out = np.full((Hp, Wp), np.nan, dtype=np.float32)
     out[:H, :W] = elevation
     return out, (H, W)
+
+
+# ---------------------------------------------------------------------------
+# Queries against the TILED map (no replication): pmin/psum verdict reduction
+# ---------------------------------------------------------------------------
+# For maps small enough to replicate, `replicate_query_state` + the local
+# batched evaluators are fastest (embarrassingly parallel pose sharding).
+# When the global map is too large to replicate per device, the dense circle
+# field is computed tile-local (a stencil, so halo exchange suffices) and
+# path checks run with every device evaluating ALL paths against ITS tile:
+# each sampled cell is owned by exactly one device, so psum over the mesh
+# assembles exact per-sample verdicts/scores and every device ends up with
+# the full, identical result — the BASELINE north star's "pmin/psum verdict
+# reduction over per-shard map tiles".
+
+
+from traversability_estimation_tpu.ops import footprint as fp_ops
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def sharded_circle_field(
+    layers: Dict[str, Array],
+    mesh: Mesh,
+    radius_max: float,
+    radius_min: float,
+    resolution: float,
+    default_traversability: float = 0.5,
+    orig_shape: Optional[Tuple[int, int]] = None,
+) -> Tuple[Array, Array]:
+    """dense_circle_field computed per tile with halo exchange; outputs stay
+    ('x','y')-sharded. Bit-identical to the unsharded field (the spiral scan
+    is a stencil of reach ceil(radius_max/res))."""
+    trav = layers["traversability"]
+    mask = layers["traversable_mask"]
+    if orig_shape is None:
+        orig_shape = trav.shape
+    halo = int(math.ceil(radius_max / resolution - 1e-12)) + 1
+
+    def body(trav_tile, mask_tile):
+        tp = halo_pad(trav_tile, halo, jnp.float32(jnp.nan))
+        mp = halo_pad(mask_tile.astype(jnp.float32), halo, jnp.float32(0.0)) > 0.5
+        th, tw = trav_tile.shape
+        gi0 = jax.lax.axis_index("x") * th - halo
+        gj0 = jax.lax.axis_index("y") * tw - halo
+        gi = gi0 + jnp.arange(th + 2 * halo)[:, None]
+        gj = gj0 + jnp.arange(tw + 2 * halo)[None, :]
+        in_map = (gi >= 0) & (gi < orig_shape[0]) & (gj >= 0) & (gj < orig_shape[1])
+        state = fp_ops.QueryState(
+            traversability=tp,
+            traversable_mask=mp,
+            position=jnp.zeros((2,), jnp.float32),  # scan is index-space only
+            resolution=resolution,
+            default_traversability=default_traversability,
+        )
+        ok, tv = fp_ops.dense_circle_field(state, radius_max, radius_min, in_map)
+        return ok[halo:-halo, halo:-halo], tv[halo:-halo, halo:-halo]
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(P("x", "y"), P("x", "y")),
+        out_specs=(P("x", "y"), P("x", "y")), check_vma=False,
+    )
+    return fn(trav, mask)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def check_circular_paths_tiled(
+    field_ok: Array,
+    field_trav: Array,
+    poses: Array,
+    n_poses: Array,
+    mesh: Mesh,
+    position: Tuple[float, float],
+    resolution: float,
+    max_segment_cells: int,
+    default_traversability: float = 0.5,
+    orig_shape: Optional[Tuple[int, int]] = None,
+) -> Tuple[Array, Array]:
+    """Batched circular path checks against the ('x','y')-SHARDED dense
+    circle field — no plane is ever replicated. Every device samples all
+    paths from its own tile; per-sample results combine with one psum over
+    the mesh (each in-map sample cell has exactly one owner), and the
+    replicated segment/path aggregation matches the local evaluator
+    bit-for-bit (tests pin tiled == unsharded).
+
+    Single-pose paths are scored from the field at the pose's CELL CENTER —
+    a documented deviation of this large-map extension (the local evaluator
+    runs the exact sub-cell spiral; cell centers coincide for all multi-pose
+    path samples either way).
+    """
+    H, W = field_ok.shape if orig_shape is None else orig_shape
+    poses = jnp.asarray(poses, jnp.float32)
+    Pn, N, _ = poses.shape
+    n_poses = jnp.asarray(n_poses, jnp.int32)
+    default = jnp.float32(default_traversability)
+
+    # global index math (same formula as fp_ops._index_of on the full map)
+    p0 = (
+        jnp.asarray(position, jnp.float32)
+        + jnp.asarray([H, W], jnp.float32) * resolution * 0.5
+    )
+
+    def index_of(xy):
+        return jnp.floor((p0 - xy) / resolution).astype(jnp.int32)
+
+    starts = poses[:, : max(N - 1, 1), :]
+    ends = poses[:, 1:, :] if N > 1 else poses[:, :1, :]
+    seg_valid = jnp.arange(1, max(N, 2))[None, :] < n_poses[:, None]
+
+    from traversability_estimation_tpu.grid.geometry import line_cells_batch
+
+    cells, cell_valid, _ = line_cells_batch(
+        index_of(ends), index_of(starts), max_segment_cells
+    )
+    S = (max_segment_cells + 3) // 4
+    sample_ids = jnp.arange(S) * 4
+    s_cells = cells[..., sample_ids, :]  # (P, N-1, S, 2)
+    s_valid = cell_valid[..., sample_ids]
+    # single-pose: sampled as a degenerate one-sample segment at the pose cell
+    pose0_cell = index_of(poses[:, 0, :])[:, None, None, :]
+    is_single = (n_poses == 1)[:, None, None]
+    s_cells = jnp.where(is_single[..., None], pose0_cell, s_cells)
+    s_valid = jnp.where(
+        is_single, jnp.arange(S)[None, None, :] == 0, s_valid
+    )
+    seg_valid = seg_valid | (n_poses == 1)[:, None] * (
+        jnp.arange(seg_valid.shape[1])[None, :] == 0
+    )
+
+    def body(ok_tile, trav_tile):
+        th, tw = ok_tile.shape
+        gi0 = jax.lax.axis_index("x") * th
+        gj0 = jax.lax.axis_index("y") * tw
+        gi = s_cells[..., 0]
+        gj = s_cells[..., 1]
+        li = gi - gi0
+        lj = gj - gj0
+        owned = (li >= 0) & (li < th) & (lj >= 0) & (lj < tw)
+        owned = owned & (gi >= 0) & (gi < H) & (gj >= 0) & (gj < W)
+        lin = jnp.clip(li, 0, th - 1) * tw + jnp.clip(lj, 0, tw - 1)
+        ok_o = jnp.take(ok_tile.reshape(-1).astype(jnp.float32), lin)
+        tv_o = jnp.take(trav_tile.reshape(-1), lin)
+        # exactly one owner per in-map sample -> psum assembles full values
+        ok_sum = jax.lax.psum(jnp.where(owned, ok_o, 0.0), ("x", "y"))
+        tv_sum = jax.lax.psum(jnp.where(owned, tv_o, 0.0), ("x", "y"))
+        own_any = jax.lax.psum(owned.astype(jnp.float32), ("x", "y")) > 0.5
+        # off-global-map samples: default verdict (cpp:662-667)
+        ok_s = jnp.where(own_any, ok_sum > 0.5, default != 0.0)
+        trav_s = jnp.where(own_any, tv_sum, default)
+
+        ok1 = jnp.all(jnp.where(s_valid[:, 0], ok_s[:, 0], True), axis=-1)
+        trav1 = jnp.where(ok1, trav_s[:, 0, 0], 0.0)
+        return fp_ops.aggregate_sampled_segments(
+            ok_s, trav_s, s_valid, seg_valid, starts, ends, n_poses, ok1, trav1
+        )
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(P("x", "y"), P("x", "y")),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    return fn(field_ok, field_trav)
