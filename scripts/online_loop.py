@@ -65,6 +65,8 @@ def main():
         patch, _ = src.sample((cx, cy), (4.0, 4.0))
         with update_lat.timed():
             est.update_with_submap(patch, (cx, cy))
+            # force true completion (see query note below)
+            np.asarray(est.traversability_map["traversability"][:1, :1])
         # planner queries around the robot
         P, N = args.paths, 10
         starts = np.stack(
@@ -78,7 +80,9 @@ def main():
             safe, trav = est.check_circular_paths_batch(
                 poses, np.full((P,), N, np.int32), 0.3
             )
-            jax.block_until_ready((safe, trav))
+            # host fetch forces true completion: on tunneled dev transports
+            # block_until_ready acks before device execution finishes
+            safe = np.asarray(safe)
         tick += 1
         sleep = period - (time.time() - t_tick)
         if sleep > 0:
