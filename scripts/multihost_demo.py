@@ -1,11 +1,12 @@
 """Multi-host sharded update demo (BASELINE.json config 5 scaffolding).
 
-Run one process per host, e.g. locally with two CPU processes:
+Run one process per host, e.g. locally with two CPU processes (gloo
+cross-process collectives, 4 virtual chips each):
 
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
-  python scripts/multihost_demo.py --num-processes 2 --process-id 0 &
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
-  python scripts/multihost_demo.py --num-processes 2 --process-id 1
+  JAX_PLATFORMS=cpu python scripts/multihost_demo.py \
+      --num-processes 2 --process-id 0 --local-devices 4 &
+  JAX_PLATFORMS=cpu python scripts/multihost_demo.py \
+      --num-processes 2 --process-id 1 --local-devices 4
 
 On a TPU pod all three arguments are auto-detected and may be omitted.
 The global mesh spans every chip on every host; the same sharded_update /
@@ -26,6 +27,8 @@ def main():
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--map-cells", type=int, default=512)
+    ap.add_argument("--local-devices", type=int, default=None,
+                    help="virtual CPU chips per process (CPU rig only)")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +43,7 @@ def main():
         coordinator_address=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id,
+        local_cpu_devices=args.local_devices,
     )
     print(
         f"process {jax.process_index()}/{jax.process_count()}: mesh {mesh.devices.shape}"
@@ -69,11 +73,15 @@ def main():
     safe, trav = jax.jit(fp_ops.check_circular_paths, static_argnums=(3, 4, 5))(
         state, sharded_poses, jnp.full((P,), N, jnp.int32), 0.3, 0.15, 16
     )
-    jax.block_until_ready((safe, trav))
+    # results span processes: gather before host inspection
+    from jax.experimental import multihost_utils
+
+    safe_g = np.asarray(multihost_utils.process_allgather(safe, tiled=True))
+    trav_g = np.asarray(multihost_utils.process_allgather(trav, tiled=True))
+    mean = float(trav_g[safe_g].mean()) if safe_g.any() else float("nan")
     print(
         f"process {jax.process_index()}: {P} paths checked, "
-        f"safe={int(np.asarray(safe).sum())}, mean trav="
-        f"{float(np.asarray(trav)[np.asarray(safe)].mean()):.3f}"
+        f"safe={int(safe_g.sum())}, mean trav={mean:.3f}"
     )
 
 

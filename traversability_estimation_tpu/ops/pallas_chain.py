@@ -1,8 +1,15 @@
 """Fused Pallas TPU kernel for the full map update (chain + veto fields).
 
-The XLA path (ops.filters + ops.veto) lowers to ~150 small elementwise/shift
-kernels, each re-reading HBM; at 336^2 that costs ~7 ms — kernel-launch and
-HBM-traffic bound, far from speed of light. This kernel fuses the ENTIRE
+STATUS (measured on TPU v5e, chained-scan device timing): the XLA path in
+ops.filters/ops.veto is the PRODUCTION path — XLA fuses the whole chain
+without the ~2.75x halo-redundant compute this kernel pays at 128x128 tiles
+(XLA 1.7-2.3 Gcell/s vs 0.26 Gcell/s here; both are VPU-compute-bound, so
+the redundancy factor decides). Larger tiles would cut the redundancy to
+~1.5x but Mosaic compile time for this straight-line body at (256,512)+
+tiles is pathological (>20 min). Kept as the from-scratch kernel
+demonstration and for shapes/configs where manual VMEM residency wins.
+
+This kernel fuses the ENTIRE
 per-cell pipeline into one ``pallas_call``: each program DMAs one elevation
 tile (+ stencil halo) from HBM into VMEM, computes normals/slope/step/
 roughness/fusion and all veto fields entirely in VMEM, and writes the output
