@@ -394,9 +394,15 @@ def check_circular_paths(
     s_cells = cells[..., sample_ids, :]  # (P, N-1, S, 2)
     s_valid = cell_valid[..., sample_ids]  # (P, N-1, S)
 
-    default = jnp.float32(state.default_traversability)
-    ok_s, _ = _gather_plane(field_ok, s_cells, default != 0.0)
-    trav_s, _ = _gather_plane(field_trav, s_cells, default)
+    default = float(state.default_traversability)
+    # pack (ok, trav) into ONE plane to halve the gather count (the batch is
+    # element-gather bound): trav >= 0, so ok <-> packed >= 0 and the failing
+    # branch stores -1 - trav (losslessly decodable)
+    packed = jnp.where(field_ok, field_trav, -1.0 - field_trav)
+    fill = default if default != 0.0 else -1.0 - default
+    p_s, _ = _gather_plane(packed, s_cells, jnp.float32(fill))
+    ok_s = p_s >= 0.0
+    trav_s = jnp.where(ok_s, p_s, -1.0 - p_s)
 
     return aggregate_sampled_segments(
         ok_s, trav_s, s_valid, seg_valid, starts, ends, n_poses, ok1, trav1
