@@ -80,6 +80,30 @@ def test_latched_publication_replays_last_map():
     assert len(late) == 1  # latched replay
 
 
+def test_timer_retries_after_source_failure():
+    class FlakySource:
+        def __init__(self, inner, fail_first):
+            self.inner = inner
+            self.fails_left = fail_first
+
+        def sample(self, center, length):
+            if self.fails_left > 0:
+                self.fails_left -= 1
+                raise ConnectionError("sensor offline")
+            return self.inner.sample(center, length)
+
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=25.0, map_length=(1.0, 1.0))
+    node = TraversabilityNode(cfg, source=FlakySource(_source(), fail_first=3))
+    with node:
+        deadline = time.time() + 60.0
+        while node.update_count < 1 and time.time() < deadline:
+            time.sleep(0.02)
+    # all 3 failures counted, then recovery without operator action
+    assert node.total_failures == 3
+    assert node.consecutive_failures == 0
+    assert node.update_count >= 1
+
+
 def test_initial_grid_map_gate():
     cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0)
     node = TraversabilityNode(cfg)

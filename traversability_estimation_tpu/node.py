@@ -80,6 +80,13 @@ class TraversabilityNode:
         self._timer: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.update_count = 0
+        # failure-detection analog (SURVEY.md §5): the reference only guards
+        # its elevation-service RPC with a 2 s waitForExistence + throttled
+        # warnings (TraversabilityEstimation.cpp:206,214); here every failed
+        # tick is counted and retried deterministically on the next tick —
+        # a persistent map keeps serving the last good state meanwhile.
+        self.consecutive_failures = 0
+        self.total_failures = 0
         # min_update_rate==0 disables the timer with a warning, matching
         # TraversabilityEstimation.cpp:38-42
         self.timer_enabled = self.config.min_update_rate > 0.0
@@ -111,11 +118,25 @@ class TraversabilityNode:
         while not self._stop.is_set():
             t0 = time.time()
             try:
-                self.update_traversability()
+                ok = self.update_traversability()
             except Exception:  # noqa: BLE001 — a failed tick must not kill the loop
                 import logging
 
                 logging.getLogger(__name__).exception("update tick failed")
+                ok = False
+            if ok:
+                self.consecutive_failures = 0
+            else:
+                self.consecutive_failures += 1
+                self.total_failures += 1
+                if self.consecutive_failures in (1, 10, 100):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "update tick failed (%d consecutive); retrying at the "
+                        "configured rate",
+                        self.consecutive_failures,
+                    )
             self._stop.wait(max(0.0, period - (time.time() - t0)))
 
     # -- topics (publish/subscribe analog) -----------------------------------
