@@ -233,6 +233,30 @@ def main():
         f"polygonal batch true: {dt_poly*1e3:.2f} ms for {P} paths x {N} poses "
         f"(swept-hull rectangle) -> {P*N/dt_poly/1e6:.2f} M pose-checks/s"
     )
+    try:
+        from traversability_estimation_tpu.utils import native
+
+        lay = {
+            k: np.asarray(v)
+            for k, v in est.traversability_map.layers.items()
+            if k in ("elevation", "traversability", "traversability_slope",
+                     "traversability_step")
+        }
+        eng = native.BaselineQueryEngine(
+            lay, res, critical_step_height=0.12, max_gap_width=0.3,
+            default_traversability=0.5,
+        )
+        npb, nnb = 96, N
+        eng.check_polygon_paths(poses[:8].astype(np.float64), footprint)  # warm
+        t0 = time.perf_counter()
+        eng.check_polygon_paths(poses[:npb].astype(np.float64), footprint)
+        base_poly = npb * nnb / (time.perf_counter() - t0)
+        log(
+            f"polygonal baseline (native C++ 1 thread): {base_poly:,.0f} "
+            f"checks/s -> TPU speedup {P*N/dt_poly/base_poly:,.0f}x"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"native polygonal baseline unavailable: {e}")
 
     np.asarray(query_loop(poses_dev))  # compile + warm
     t0 = time.perf_counter()

@@ -10,6 +10,7 @@
 // Build: see csrc/build.sh (g++ -O3 -shared). ABI: plain C, driven via
 // ctypes from traversability_estimation_tpu/utils/native.py.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -379,6 +380,140 @@ void te_check_circles(const float* elevation, const float* trav,
                             rmin, &ok);
     ok_out[q] = ok ? 1 : 0;
     trav_out[q] = t;
+  }
+}
+
+}  // extern "C"
+
+// -------------------------------------------------------------------------
+// Polygonal footprint paths (checkPolygonalFootprintPath semantics:
+// consecutive-footprint convex hulls, PolygonIterator raster, per-cell veto,
+// area-weighted aggregation; oracle/footprint.py is the Python referee)
+// -------------------------------------------------------------------------
+
+namespace {
+
+struct Pt { double x, y; };
+
+double cross3(const Pt& o, const Pt& a, const Pt& b) {
+  return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+}
+
+// Andrew monotone chain, grid_map parity (collinear popped, CCW order).
+std::vector<Pt> convex_hull(std::vector<Pt> p) {
+  if (p.size() <= 3) return p;
+  std::sort(p.begin(), p.end(), [](const Pt& a, const Pt& b) {
+    return a.x < b.x || (a.x == b.x && a.y < b.y);
+  });
+  std::vector<Pt> lo, hi;
+  for (const auto& q : p) {
+    while (lo.size() >= 2 && cross3(lo[lo.size() - 2], lo.back(), q) <= 0) lo.pop_back();
+    lo.push_back(q);
+  }
+  for (auto it = p.rbegin(); it != p.rend(); ++it) {
+    while (hi.size() >= 2 && cross3(hi[hi.size() - 2], hi.back(), *it) <= 0) hi.pop_back();
+    hi.push_back(*it);
+  }
+  lo.pop_back(); hi.pop_back();
+  lo.insert(lo.end(), hi.begin(), hi.end());
+  return lo;
+}
+
+// crossing-number point-in-polygon (grid_map Polygon::isInside parity)
+bool poly_contains(const std::vector<Pt>& v, double px, double py) {
+  bool in = false;
+  size_t n = v.size();
+  for (size_t i = 0, j = n - 1; i < n; j = i++) {
+    if (((v[i].y > py) != (v[j].y > py)) &&
+        (px < (v[j].x - v[i].x) * (py - v[i].y) / (v[j].y - v[i].y) + v[i].x))
+      in = !in;
+  }
+  return in;
+}
+
+// shoelace over stored vertex order, abs (grid_map Polygon::getArea parity)
+double poly_area(const std::vector<Pt>& v) {
+  double area = 0;
+  size_t n = v.size();
+  for (size_t i = 0, j = n - 1; i < n; j = i++)
+    area += (v[j].x + v[i].x) * (v[j].y - v[i].y);
+  return std::fabs(area / 2.0);
+}
+
+// isTraversable(polygon): PolygonIterator over the hull's bounding box,
+// per-cell veto, mean traversability (TraversabilityMap.cpp:586-645)
+bool poly_check(QueryCtx& c, const std::vector<Pt>& v, double* trav_out) {
+  double half_x = c.elev.rows * c.res / 2.0, half_y = c.elev.cols * c.res / 2.0;
+  double min_x = 1e30, max_x = -1e30, min_y = 1e30, max_y = -1e30;
+  for (const auto& p : v) {
+    min_x = std::fmin(min_x, p.x); max_x = std::fmax(max_x, p.x);
+    min_y = std::fmin(min_y, p.y); max_y = std::fmax(max_y, p.y);
+  }
+  int i0 = std::max(0, (int)std::floor((half_x - max_x) / c.res));
+  int i1 = std::min(c.elev.rows - 1, (int)std::floor((half_x - min_x) / c.res));
+  int j0 = std::max(0, (int)std::floor((half_y - max_y) / c.res));
+  int j1 = std::min(c.elev.cols - 1, (int)std::floor((half_y - min_y) / c.res));
+  int n_cells = 0; double sum = 0.0;
+  for (int i = i0; i <= i1; ++i)
+    for (int j = j0; j <= j1; ++j) {
+      double px = half_x - (i + 0.5) * c.res, py = half_y - (j + 0.5) * c.res;
+      if (!poly_contains(v, px, py)) continue;
+      if (!veto_ok(c, i, j)) { *trav_out = 0.0; return false; }
+      n_cells++;
+      float tv = c.trav.at(i, j);
+      sum += std::isfinite(tv) ? tv : c.default_trav;
+    }
+  if (n_cells == 0) { *trav_out = c.default_trav; return c.default_trav != 0.0; }
+  *trav_out = sum / n_cells;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched polygonal footprint paths, identity orientation (the bench
+// workload): per segment the hull of the footprint placed at both endpoint
+// poses; area-weighted aggregation (TraversabilityMap.cpp:569-578). memo
+// buffers as in te_check_circles.
+void te_check_polygon_paths(const float* elevation, const float* trav,
+                            const float* slope, const float* step, int rows,
+                            int cols, double res, double crit_step,
+                            double max_gap, double default_trav,
+                            float* slope_memo, float* step_memo,
+                            const double* poses_xy, int n_paths, int n_poses,
+                            const double* footprint, int n_verts,
+                            uint8_t* ok_out, double* trav_out) {
+  std::vector<float> dummy(1, kNaN);
+  QueryCtx c{{elevation, rows, cols}, {trav, rows, cols},  {slope, rows, cols},
+             {step, rows, cols},      {nullptr, rows, cols},
+             {slope_memo, rows, cols}, {step_memo, rows, cols},
+             {dummy.data(), 1, 1},     res, crit_step, max_gap, default_trav,
+             false};
+  for (int p = 0; p < n_paths; ++p) {
+    const double* path = poses_xy + (size_t)p * n_poses * 2;
+    bool safe = true;
+    double total_area = 0.0, trav_acc = 0.0;
+    for (int s = 0; s + 1 < n_poses && safe; ++s) {
+      std::vector<Pt> pts;
+      pts.reserve(2 * n_verts);
+      std::vector<Pt> poly1;
+      for (int k = 0; k < 2; ++k)
+        for (int vi = 0; vi < n_verts; ++vi) {
+          Pt q{footprint[2 * vi] + path[2 * (s + k)],
+               footprint[2 * vi + 1] + path[2 * (s + k) + 1]};
+          pts.push_back(q);
+          if (k == 0) poly1.push_back(q);
+        }
+      auto h = convex_hull(pts);
+      double seg_trav = 0.0;
+      if (!poly_check(c, h, &seg_trav)) { safe = false; break; }
+      double w = (s == 0) ? poly_area(h) : poly_area(h) - poly_area(poly1);
+      total_area += w;
+      trav_acc += w * seg_trav;
+    }
+    ok_out[p] = safe ? 1 : 0;
+    trav_out[p] = safe && total_area != 0.0 ? trav_acc / total_area : 0.0;
   }
 }
 

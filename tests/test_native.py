@@ -64,3 +64,51 @@ def test_native_bag_reader_matches_python(golden_map):
     assert set(msg.layers) == set(golden_map.layers)
     for k in ("elevation", "traversability"):
         np.testing.assert_array_equal(msg.data[k], golden_map.data[k])
+
+
+def test_native_polygon_paths_match_oracle():
+    """Native polygonal path baseline == Python oracle (pass AND fail paths)."""
+    import numpy as np
+    import pytest
+
+    from traversability_estimation_tpu.oracle import filters as of
+    from traversability_estimation_tpu.oracle.footprint import OracleMap
+    from traversability_estimation_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    res = 0.03
+    H = W = 48
+    x = np.arange(H)[:, None] * res
+    y = np.arange(W)[None, :] * res
+    # gentle terrain with a hard wall: both verdict branches exercised
+    elev = (
+        0.05 * np.sin(2 * x) * np.cos(1.5 * y)
+        + 0.004 * rng.standard_normal((H, W))
+        + 0.5 * (x > x.mean() + 0.2)
+    ).astype(np.float32)
+    elev[rng.random((H, W)) < 0.01] = np.nan
+    layers = {"elevation": elev, **of.run_chain(elev, res, of.DEFAULT_CHAIN_CONFIG)}
+    eng = native.BaselineQueryEngine(layers, res, 0.12, 0.3, 0.5)
+    om = OracleMap(
+        layers, res, (0.0, 0.0), critical_step_height=0.12, max_gap_width=0.3,
+        traversability_default=0.5, check_roughness=False,
+    )
+    fp = np.array([[0.09, 0.06], [0.09, -0.06], [-0.09, -0.06], [-0.09, 0.06]])
+    P, N = 24, 4
+    ext = H * res / 2 * 0.7
+    starts = np.stack([rng.uniform(-ext, ext, P), rng.uniform(-ext, ext, P)], -1)
+    steps = rng.uniform(-0.05, 0.05, (P, N - 1, 2))
+    poses = np.concatenate([starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1)
+    ok_n, tv_n = eng.check_polygon_paths(poses, fp)
+    n_safe = 0
+    for p in range(P):
+        poses3 = np.concatenate([poses[p], np.zeros((N, 1))], 1)
+        quats = np.tile([0, 0, 0, 1.0], (N, 1))
+        r = om.check_polygonal_footprint_path(poses3, quats, fp)
+        assert bool(ok_n[p]) == bool(r.is_safe), p
+        if r.is_safe:
+            n_safe += 1
+            assert tv_n[p] == pytest.approx(r.traversability, abs=1e-9), p
+    assert 0 < n_safe < P  # both branches exercised

@@ -57,6 +57,12 @@ def _load():
         ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         f32p, f32p, f32p, f32p,
     ]
+    lib.te_check_polygon_paths.argtypes = [
+        f32p, f32p, f32p, f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        f32p, f32p, f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_int,
+        u8p, f64p,
+    ]
     lib.te_check_circles.argtypes = [
         f32p, f32p, f32p, f32p, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -210,5 +216,28 @@ class BaselineQueryEngine:
             self.resolution, self.critical_step_height, self.max_gap_width,
             self.default, self._slope_memo, self._step_memo, self._trav_memo,
             centers, n, radius_max, radius_min, ok, trav,
+        )
+        return ok.astype(bool), trav
+
+    def check_polygon_paths(
+        self,
+        poses: np.ndarray,
+        footprint: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Polygonal footprint paths at identity orientation: per segment the
+        convex hull of the footprint at both endpoint poses, PolygonIterator
+        raster with the memoized veto cascade, area-weighted aggregation
+        (TraversabilityMap.cpp:464-584 semantics)."""
+        lib = self._lib
+        poses = np.ascontiguousarray(poses, np.float64)
+        P, N, _ = poses.shape
+        fp = np.ascontiguousarray(footprint, np.float64)
+        ok = np.empty(P, np.uint8)
+        trav = np.empty(P, np.float64)
+        lib.te_check_polygon_paths(
+            self.elev, self.trav, self.slope, self.step, self.rows, self.cols,
+            self.resolution, self.critical_step_height, self.max_gap_width,
+            self.default, self._slope_memo, self._step_memo,
+            poses, P, N, fp, len(fp), ok, trav,
         )
         return ok.astype(bool), trav
