@@ -205,7 +205,9 @@ def main():
     # by the reference footprint rectangle (hulls of consecutive footprints)
     footprint = np.asarray(est.config.footprint.footprint_polygon, np.float32)
     seg = np.linalg.norm(np.diff(poses, axis=1), axis=-1)
-    window = fp_ops.polygon_window_cells(footprint, float(seg.max()), res, False)
+    window = fp_ops.polygon_window_cells(
+        footprint, float(seg.max()), res, False, identity_orientation=True
+    )
     pos3 = jnp.asarray(
         np.concatenate([poses, np.zeros((P, N, 1), np.float32)], -1)
     )

@@ -429,8 +429,10 @@ class TraversabilityEstimator:
                 quats[b] = np.asarray(paths[i].orientations, np.float32).reshape(N, 4)
         seg = np.linalg.norm(np.diff(pos3[..., :2], axis=1), axis=-1)
         seg_max = float(seg.max()) if seg.size else 0.0
+        identity = bool(np.all(np.abs(quats - np.asarray([0, 0, 0, 1])) < 1e-12))
         window = fp_ops.polygon_window_cells(
-            fp, seg_max, self.config.chain.resolution, conservative
+            fp, seg_max, self.config.chain.resolution, conservative,
+            identity_orientation=identity,
         )
         n_poses = np.full((B,), N, np.int32)
         safe, trav, area = _polygonal_paths_jit(
@@ -439,7 +441,7 @@ class TraversabilityEstimator:
             jnp.asarray(quats),
             jnp.asarray(n_poses),
             jnp.asarray(fp),
-            int(window),
+            window,
             conservative,
         )
         safe = np.asarray(safe)
@@ -563,8 +565,11 @@ class TraversabilityEstimator:
         poses2 = np.asarray(positions)[..., :2]
         seg = np.linalg.norm(np.diff(poses2, axis=1), axis=-1)
         seg_max = float(seg.max()) if seg.size else 0.0
+        quats_np = np.asarray(quaternions)
+        identity = bool(np.all(np.abs(quats_np - np.asarray([0, 0, 0, 1])) < 1e-12))
         window = fp_ops.polygon_window_cells(
-            footprint, seg_max, self.config.chain.resolution, conservative
+            footprint, seg_max, self.config.chain.resolution, conservative,
+            identity_orientation=identity,
         )
         return _polygonal_paths_jit(
             self.query_state,
@@ -572,7 +577,7 @@ class TraversabilityEstimator:
             jnp.asarray(quaternions, jnp.float32),
             jnp.asarray(n_poses, jnp.int32),
             jnp.asarray(footprint, jnp.float32),
-            int(window),
+            window,
             bool(conservative),
         )
 

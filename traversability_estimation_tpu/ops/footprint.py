@@ -512,7 +512,7 @@ def transform_footprint(
     return jnp.stack([out_x, out_y], axis=-1)
 
 
-def _window_planes(state: QueryState, anchor_idx: Array, window: int):
+def _window_planes(state: QueryState, anchor_idx: Array, window):
     """Gather (traversability, veto-ok, in-map) for a (window x window) cell
     block around each anchor index, as BLOCK gathers: one vmapped
     dynamic_slice of a padded plane stack per anchor instead of per-element
@@ -521,16 +521,19 @@ def _window_planes(state: QueryState, anchor_idx: Array, window: int):
 
     Anchors are clipped to window reach around the map: any anchor beyond has
     every intended cell off-map, and so does its clipped window — verdicts
-    are unchanged. Returns (cells (B,W2,2) as actually fetched, trav (B,W2),
+    are unchanged. `window` is an int (square) or an (wi, wj) pair — a tight
+    rectangular window halves the gather volume for identity-orientation
+    footprints. Returns (cells (B,W2,2) as actually fetched, trav (B,W2),
     ok (B,W2) bool, inmap (B,W2) bool).
     """
     H, W = state.shape
-    half = window // 2
-    pad = window
+    wi, wj = (window, window) if isinstance(window, int) else window
+    half_i, half_j = wi // 2, wj // 2
+    pad = max(wi, wj)
     anchor_idx = jnp.stack(
         [
-            jnp.clip(anchor_idx[..., 0], -half - 1, H + half),
-            jnp.clip(anchor_idx[..., 1], -half - 1, W + half),
+            jnp.clip(anchor_idx[..., 0], -half_i - 1, H + half_i),
+            jnp.clip(anchor_idx[..., 1], -half_j - 1, W + half_j),
         ],
         axis=-1,
     )
@@ -543,23 +546,23 @@ def _window_planes(state: QueryState, anchor_idx: Array, window: int):
     )
     stack = jnp.stack([trav_p, ok_p])  # (2, H+2p, W+2p)
 
-    start = anchor_idx - half + pad  # guaranteed in range by the clip above
+    start = (
+        anchor_idx - jnp.asarray([half_i, half_j], jnp.int32) + pad
+    )  # guaranteed in range by the clip above
 
     def one(ij):
-        return jax.lax.dynamic_slice(
-            stack, (0, ij[0], ij[1]), (2, window, window)
-        )
+        return jax.lax.dynamic_slice(stack, (0, ij[0], ij[1]), (2, wi, wj))
 
-    win = jax.vmap(one)(start)  # (B, 2, window, window)
+    win = jax.vmap(one)(start)  # (B, 2, wi, wj)
     B = win.shape[0]
-    win = win.reshape(B, 2, window * window)
+    win = win.reshape(B, 2, wi * wj)
     trav = win[:, 0]
     inmap = trav != jnp.inf
     trav = jnp.where(inmap, trav, jnp.nan)
 
     oi, oj = jnp.meshgrid(
-        jnp.arange(window, dtype=jnp.int32) - half,
-        jnp.arange(window, dtype=jnp.int32) - half,
+        jnp.arange(wi, dtype=jnp.int32) - half_i,
+        jnp.arange(wj, dtype=jnp.int32) - half_j,
         indexing="ij",
     )
     offs = jnp.stack([oi.reshape(-1), oj.reshape(-1)], axis=-1)  # (W2, 2)
@@ -751,8 +754,23 @@ def polygon_window_cells(
     max_segment_length: float,
     resolution: float,
     conservative: bool = False,
-) -> int:
-    """Static raster window size covering any consecutive-footprint hull."""
-    circum = float(np.max(np.linalg.norm(np.asarray(footprint), axis=1)))
-    reach = circum + (1.5 if conservative else 0.5) * max_segment_length
-    return 2 * int(math.ceil(reach / resolution)) + 3
+    identity_orientation: bool = False,
+):
+    """Static raster window covering any consecutive-footprint hull.
+
+    Returns a square int sized by the footprint circumradius; with
+    `identity_orientation` (no pose rotates the footprint) a tight (wi, wj)
+    rectangle from the per-axis extents instead — ~2x less gather volume for
+    the shipped 0.9 x 0.6 m footprint."""
+    fp = np.asarray(footprint, np.float64)
+    grow = (1.5 if conservative else 0.5) * max_segment_length
+
+    def cells(reach):
+        return 2 * int(math.ceil(reach / resolution)) + 3
+
+    if identity_orientation:
+        return (
+            cells(float(np.abs(fp[:, 0]).max()) + grow),
+            cells(float(np.abs(fp[:, 1]).max()) + grow),
+        )
+    return cells(float(np.max(np.linalg.norm(fp, axis=1))) + grow)
