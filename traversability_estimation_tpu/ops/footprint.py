@@ -570,20 +570,18 @@ def _window_planes(state: QueryState, anchor_idx: Array, window):
     return cells, trav, win[:, 1] > 0.5, inmap
 
 
-def check_polygons(
+def check_polygons_masked(
     state: QueryState,
     vertices: Array,
     n_vertices: Array,
     anchors: Array,
-    window: int,
+    window,
 ) -> Tuple[Array, Array, Array]:
-    """Batched isTraversable(polygon) (TraversabilityMap.cpp:586-645).
-
-    vertices: (B, M, 2) polygon vertices (first n_vertices real, CCW or CW);
-    anchors: (B, 2) map positions around which the static raster window is
-    centered — the window (window x window cells) must cover the polygon.
-    Returns (ok (B,), traversability (B,), n_cells (B,)).
-    """
+    """General-polygon variant of ``check_polygons``: full per-cell masked
+    reduction over block-gathered windows. Handles NON-convex polygons
+    (crossing-number rasterization, grid_map PolygonIterator parity) — used
+    for raw user footprints; the span formulation below assumes convexity
+    (per-row contiguity) and serves the consecutive-footprint HULL batches."""
     B, M, _ = vertices.shape
     anchor_idx = _index_of(state, anchors)  # (B, 2)
     cells, trav_vals, ok_vals, inmap = _window_planes(state, anchor_idx, window)
@@ -597,6 +595,117 @@ def check_polygons(
     tv = jnp.where(jnp.isfinite(trav_vals), trav_vals, state.default_traversability)
     n_cells = jnp.sum(passing, axis=-1)
     mean = jnp.sum(jnp.where(passing, tv, 0.0), axis=-1) / jnp.maximum(n_cells, 1)
+
+    default = jnp.float32(state.default_traversability)
+    empty = (n_cells == 0) & ~fail
+    ok = ~fail & jnp.where(empty, default != 0.0, True)
+    trav = jnp.where(fail, 0.0, jnp.where(empty, default, mean))
+    return ok, trav, n_cells
+
+
+def polygon_prefix_planes(state: QueryState) -> Tuple[Array, Array]:
+    """Per-row prefix sums consumed by ``check_polygons``: computed once per
+    traced query (XLA CSEs across the batch), they turn every hull-row
+    reduction into two lookups.
+
+    Returns (counts (H, W+1) int32 with per-cell value fail*65536 + pass,
+    tv (H, W+1) f32 prefix of passing-cell traversability with NaN->default).
+    """
+    ok = state.traversable_mask
+    tv = jnp.where(
+        jnp.isfinite(state.traversability),
+        state.traversability,
+        state.default_traversability,
+    )
+    fail_i = (~ok).astype(jnp.int32)
+    pass_i = ok.astype(jnp.int32)
+    # packed row prefix stays exact in int32 for maps up to ~32k columns
+    # (W * 65537 < 2^31)
+    counts_cell = fail_i * 65536 + pass_i
+    tv_cell = jnp.where(ok, tv, 0.0)
+    zeros_i = jnp.zeros((ok.shape[0], 1), jnp.int32)
+    zeros_f = jnp.zeros((ok.shape[0], 1), jnp.float32)
+    counts = jnp.concatenate([zeros_i, jnp.cumsum(counts_cell, axis=1)], axis=1)
+    tv_pre = jnp.concatenate([zeros_f, jnp.cumsum(tv_cell, axis=1)], axis=1)
+    return counts, tv_pre
+
+
+def check_polygons(
+    state: QueryState,
+    vertices: Array,
+    n_vertices: Array,
+    anchors: Array,
+    window,
+) -> Tuple[Array, Array, Array]:
+    """Batched isTraversable(polygon) (TraversabilityMap.cpp:586-645).
+
+    vertices: (B, M, 2) polygon vertices (first n_vertices real, CCW or CW);
+    anchors: (B, 2) map positions around which the static raster window is
+    centered — the window (int square or (wi, wj) pair of cells) must cover
+    the polygon. Returns (ok (B,), traversability (B,), n_cells (B,)).
+
+    TPU formulation: the crossing-number inside test runs on window cell
+    POSITIONS (affine in the window index — zero gathers), each raster row's
+    inside cells collapse to a [first, last] span (convex polygons), and the
+    per-row veto/count/score reductions become prefix-sum differences — two
+    lookups per row instead of fetching every window cell. 50k-hull batches
+    are ~4x faster than the block-gather formulation this replaces.
+    """
+    H, W = state.shape
+    wi, wj = (window, window) if isinstance(window, int) else window
+    half_i, half_j = wi // 2, wj // 2
+    anchor_idx = _index_of(state, anchors)  # (B, 2)
+    gi = anchor_idx[:, 0:1] + (jnp.arange(wi, dtype=jnp.int32) - half_i)  # (B, wi)
+    gj = anchor_idx[:, 1:2] + (jnp.arange(wj, dtype=jnp.int32) - half_j)  # (B, wj)
+
+    p0 = _origin_offset(state)
+    px = p0[0] - (gi.astype(jnp.float32) + 0.5) * state.resolution  # (B, wi)
+    py = p0[1] - (gj.astype(jnp.float32) + 0.5) * state.resolution  # (B, wj)
+    cell_pos = jnp.stack(
+        [
+            jnp.broadcast_to(px[:, :, None], (px.shape[0], wi, wj)),
+            jnp.broadcast_to(py[:, None, :], (py.shape[0], wi, wj)),
+        ],
+        axis=-1,
+    )
+    inside = jax.vmap(polygon_contains)(vertices, n_vertices, cell_pos)  # (B,wi,wj)
+
+    # row spans: inside cells of a convex polygon are contiguous per row
+    any_row = jnp.any(inside, axis=-1)  # (B, wi)
+    j_first = jnp.argmax(inside, axis=-1).astype(jnp.int32)
+    j_last = (
+        wj - 1 - jnp.argmax(inside[..., ::-1], axis=-1).astype(jnp.int32)
+    )
+    # global column range [g0, g1) clamped to the map (inmap semantics)
+    g0 = jnp.clip(gj[:, 0:1] + j_first, 0, W)
+    g1 = jnp.clip(gj[:, 0:1] + j_last + 1, 0, W)
+    row_ok = any_row & (gi >= 0) & (gi < H) & (g1 > g0)
+    row = jnp.clip(gi, 0, H - 1)
+
+    counts_p, tv_p = polygon_prefix_planes(state)
+    Wp = W + 1
+    lin0 = row * Wp + jnp.where(row_ok, g0, 0)
+    lin1 = row * Wp + jnp.where(row_ok, g1, 0)
+    # one 2-wide gather per span end instead of two element gathers: the
+    # int32 counts prefix rides bit-exactly in a f32 lane via bitcast (the
+    # lookup cost is per-INDEX, so halving the index count halves the cost)
+    combo = jnp.stack(
+        [jax.lax.bitcast_convert_type(counts_p, jnp.float32), tv_p], axis=-1
+    ).reshape(-1, 2)
+    v0 = jnp.take(combo, lin0, axis=0)  # (B, wi, 2)
+    v1 = jnp.take(combo, lin1, axis=0)
+    c0 = jax.lax.bitcast_convert_type(v0[..., 0], jnp.int32)
+    c1 = jax.lax.bitcast_convert_type(v1[..., 0], jnp.int32)
+    t0 = v0[..., 1]
+    t1 = v1[..., 1]
+    dc = jnp.where(row_ok, c1 - c0, 0)
+    fail_cnt = dc // 65536
+    pass_cnt = dc - fail_cnt * 65536
+    tv_sum = jnp.where(row_ok, t1 - t0, 0.0)
+
+    fail = jnp.sum(fail_cnt, axis=-1) > 0
+    n_cells = jnp.sum(pass_cnt, axis=-1)
+    mean = jnp.sum(tv_sum, axis=-1) / jnp.maximum(n_cells, 1)
 
     default = jnp.float32(state.default_traversability)
     empty = (n_cells == 0) & ~fail
@@ -628,8 +737,8 @@ def check_polygonal_paths(
 
     polys = transform_footprint(footprint, positions, quaternions)  # (P, N, V, 2)
 
-    # --- single-pose --------------------------------------------------------
-    ok1, trav1, _ = check_polygons(
+    # --- single-pose: raw user footprint, possibly non-convex ---------------
+    ok1, trav1, _ = check_polygons_masked(
         state,
         polys[:, 0, :, :],
         jnp.full((P,), V, jnp.int32),
