@@ -15,7 +15,7 @@ an immutable pytree swapped atomically on update:
 | ``check_footprint_path`` srv                  | ``check_footprint_path(paths)`` |
 | ``traversability_footprint`` srv              | ``traversability_footprint()`` |
 | ``update_parameters`` srv                     | ``update_parameters(config)`` |
-| ``save_traversability_map_to_bag`` srv        | ``save(path)`` (NPZ snapshot) |
+| ``save_traversability_map_to_bag`` srv        | ``save(path)`` (.bag or .npz) |
 | ``load_elevation_map`` srv                    | ``load_elevation_map(path)`` (bag or NPZ) |
 | image topic -> imageCallback                  | ``set_elevation_from_image(...)`` |
 
