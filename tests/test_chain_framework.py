@@ -233,6 +233,83 @@ def test_reference_yaml_routes_to_fast_path():
     assert not cfg.use_generic_chain  # reference chain is canonical
 
 
+def test_inclination_gate_via_generic_chain():
+    """checkInclination (TraversabilityMap.cpp:748-762) is dormant in the
+    reference unless a configured chain produces `robot_slope` — with the
+    generic chain a second SlopeFilter instance provides it, and paths
+    crossing zero-robot-slope cells are gated even when the traversability
+    chain itself passes."""
+    import dataclasses
+
+    from traversability_estimation_tpu.models import (
+        FootprintPath,
+        TraversabilityEstimator,
+    )
+    from traversability_estimation_tpu.utils.config import (
+        EstimatorConfig,
+        FootprintConfig,
+    )
+
+    res = 0.03
+    specs = tuple(
+        chain_mod.FilterSpec.from_dict(e)
+        for e in [
+            {"name": "n", "type": "gridMapFilters/NormalVectorsFilter",
+             "params": {"radius": 0.05}},
+            # permissive traversability: nothing vetoes
+            {"name": "s", "type": "traversabilityFilters/SlopeFilter",
+             "params": {"critical_value": 1.5}},
+            {"name": "st", "type": "traversabilityFilters/StepFilter",
+             "params": {"critical_value": 0.5, "first_window_radius": 0.04,
+                        "second_window_radius": 0.04, "critical_cell_number": 4}},
+            # strict robot inclination: steep band -> robot_slope == 0
+            {"name": "rs", "type": "traversabilityFilters/SlopeFilter",
+             "params": {"map_type": "robot_slope", "critical_value": 0.35}},
+            {"name": "w", "type": "gridMapFilters/MathExpressionFilter",
+             "params": {"output_layer": "traversability",
+                        "expression": "0.5*(traversability_slope + traversability_step)"}},
+        ]
+    )
+    cfg = EstimatorConfig(
+        resolution=res,
+        filter_specs=specs,
+        use_generic_chain=True,
+        footprint=FootprintConfig(check_robot_inclination=True),
+    )
+    est = TraversabilityEstimator(cfg)
+
+    H = W = 64
+    x = np.arange(H)[:, None] * res
+    elev = np.broadcast_to(
+        np.where((x > 0.8) & (x < 1.0), (x - 0.8) * 0.45, np.where(x >= 1.0, 0.09, 0.0)),
+        (H, W),
+    ).astype(np.float32)
+    assert est.update(elev, position=(H * res / 2, W * res / 2))
+    assert "robot_slope" in est.traversability_map.layers
+
+    # path on the flat plain: passes
+    flat = est.check_footprint_path(
+        FootprintPath(poses=np.array([[0.2, 0.5], [0.2, 1.0]]), radius=0.05)
+    )[0]
+    # path crossing the steep band (x in [0.8, 1.0] -> slope atan(0.45)=0.42
+    # > 0.35 critical -> robot_slope == 0): inclination-gated
+    cross = est.check_footprint_path(
+        FootprintPath(poses=np.array([[0.7, 0.9], [1.1, 0.9]]), radius=0.05)
+    )[0]
+    assert flat.is_safe
+    assert not cross.is_safe
+
+    # gate off -> the permissive chain lets the same path through
+    cfg_off = dataclasses.replace(
+        cfg, footprint=FootprintConfig(check_robot_inclination=False)
+    )
+    est.update_parameters(cfg_off)
+    cross2 = est.check_footprint_path(
+        FootprintPath(poses=np.array([[0.7, 0.9], [1.1, 0.9]]), radius=0.05)
+    )[0]
+    assert cross2.is_safe
+
+
 def test_non_canonical_yaml_routes_to_generic(tmp_path):
     doc = {
         "traversability_map_filters": [

@@ -145,8 +145,18 @@ def check_circles(
     idx = _index_of(state, centers)  # (..., 2)
     cells = idx[..., None, :] + offs  # (..., K, 2)
 
-    trav_vals, inmap = _gather_plane(state.traversability, cells, jnp.nan)
-    ok_vals, _ = _gather_plane(state.traversable_mask, cells, True)
+    # one packed plane instead of (traversability, mask): gathers cost per
+    # index, so this halves the dominant cost. Encoding: passing cell ->
+    # tv in [0, 1]; vetoed cell -> -1 - tv; off-map fill -> +inf sentinel.
+    tvf = jnp.where(
+        jnp.isfinite(state.traversability),
+        state.traversability,
+        state.default_traversability,
+    )
+    packed_plane = jnp.where(state.traversable_mask, tvf, -1.0 - tvf)
+    v, inmap = _gather_plane(packed_plane, cells, jnp.inf)
+    ok_vals = v >= 0.0
+    tv = jnp.where(ok_vals, v, -1.0 - v)
 
     # outermost two rings: grid_map re-checks true Euclidean distance to the
     # (sub-cell accurate) query center
@@ -158,9 +168,6 @@ def check_circles(
     active = inmap & within  # (..., K)
     fail = active & ~ok_vals
     passing = active & ok_vals
-    tv = jnp.where(
-        jnp.isfinite(trav_vals), trav_vals, state.default_traversability
-    )
     contrib = jnp.where(passing, tv, 0.0)
 
     K = offs.shape[0]
