@@ -494,6 +494,20 @@ void te_check_polygon_paths(const float* elevation, const float* trav,
     const double* path = poses_xy + (size_t)p * n_poses * 2;
     bool safe = true;
     double total_area = 0.0, trav_acc = 0.0;
+    if (n_poses == 1) {
+      // single pose: evaluate the raw footprint at pose 0
+      // (checkPolygonalFootprintPath n==1 branch)
+      std::vector<Pt> poly;
+      poly.reserve(n_verts);
+      for (int vi = 0; vi < n_verts; ++vi)
+        poly.push_back(Pt{footprint[2 * vi] + path[0],
+                          footprint[2 * vi + 1] + path[1]});
+      double t = 0.0;
+      bool ok = poly_check(c, poly, &t);
+      ok_out[p] = ok ? 1 : 0;
+      trav_out[p] = ok ? t : 0.0;
+      continue;
+    }
     for (int s = 0; s + 1 < n_poses && safe; ++s) {
       std::vector<Pt> pts;
       pts.reserve(2 * n_verts);

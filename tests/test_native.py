@@ -112,3 +112,18 @@ def test_native_polygon_paths_match_oracle():
             n_safe += 1
             assert tv_n[p] == pytest.approx(r.traversability, abs=1e-9), p
     assert 0 < n_safe < P  # both branches exercised
+
+    # single-pose paths: the raw footprint at pose 0 must be evaluated
+    ok_1, tv_1 = eng.check_polygon_paths(poses[:, :1, :], fp)
+    n_safe1 = 0
+    for p in range(P):
+        r = om.check_polygonal_footprint_path(
+            np.concatenate([poses[p, :1], np.zeros((1, 1))], 1),
+            np.tile([0, 0, 0, 1.0], (1, 1)),
+            fp,
+        )
+        assert bool(ok_1[p]) == bool(r.is_safe), p
+        if r.is_safe:
+            n_safe1 += 1
+            assert tv_1[p] == pytest.approx(r.traversability, abs=1e-9), p
+    assert 0 < n_safe1 < P

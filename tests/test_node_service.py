@@ -123,6 +123,47 @@ def test_update_parameters_hot_reload():
     assert node.config.min_update_rate == 5.0
 
 
+def test_update_parameters_yaml_merges_onto_current_config():
+    """rosparam-load semantics: a YAML reload must NOT reset parameters the
+    file does not mention (min_update_rate, map_length, ...)."""
+    cfg = EstimatorConfig(
+        resolution=RES, min_update_rate=0.0, map_length=(1.0, 1.0),
+        max_gap_width=0.21,
+    )
+    node = TraversabilityNode(cfg)
+    assert node.update_parameters(
+        footprint_yaml="/root/reference/traversability_estimation/config/"
+        "robot_footprint_parameter.yaml"
+    )
+    assert node.config.min_update_rate == 0.0  # preserved
+    assert node.config.map_length == (1.0, 1.0)  # preserved
+    assert node.config.max_gap_width == 0.21  # preserved
+    assert not node.timer_enabled
+    # the footprint values DID reload from the file (robot_footprint_parameter
+    # .yaml ships traversability_default 0.3)
+    assert node.config.footprint.traversability_default == 0.3
+    assert node.config.footprint.circular_footprint_radius == 0.541
+
+
+def test_update_parameters_spawns_and_stops_timer():
+    """Enabling the rate on a started node spawns the timer thread; setting
+    it to 0 stops it."""
+    cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0, map_length=(1.0, 1.0))
+    node = TraversabilityNode(cfg, source=_source())
+    node.update_traversability()  # warm compile
+    with node:
+        assert node._timer is None  # rate 0: no thread
+        node.update_parameters(config=dataclasses.replace(cfg, min_update_rate=25.0))
+        assert node._timer is not None
+        deadline = time.time() + 60.0
+        base = node.update_count
+        while node.update_count < base + 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert node.update_count >= base + 2  # ticking at the new rate
+        node.update_parameters(config=dataclasses.replace(cfg, min_update_rate=0.0))
+        assert node._timer is None  # stopped
+
+
 @pytest.fixture()
 def server():
     cfg = EstimatorConfig(resolution=RES, min_update_rate=0.0, map_length=(1.0, 1.0))

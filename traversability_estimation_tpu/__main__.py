@@ -57,9 +57,17 @@ def cmd_run(args) -> int:
             print(f"failed to load {args.map}", file=sys.stderr)
             return 1
     else:
-        from tests.conftest import synthetic_terrain  # pragma: no cover
-
-        est.update(synthetic_terrain(128, 128, args.res))
+        # demo terrain (no --map): rolling ground with a step edge and holes
+        rng = np.random.default_rng(0)
+        x = np.arange(128)[:, None] * args.res
+        y = np.arange(128)[None, :] * args.res
+        z = (
+            0.15 * np.sin(2.0 * x) * np.cos(1.5 * y)
+            + 0.05 * rng.standard_normal((128, 128))
+            + 0.3 * ((x > x.mean()) & (y > y.mean()))
+        )
+        z[rng.random((128, 128)) < 0.02] = np.nan
+        est.update(z.astype(np.float32))
     print(f"update: {time.perf_counter() - t0:.2f}s (incl. compile)")
     gm = est.traversability_map
     rows, cols = gm.size
@@ -110,8 +118,9 @@ def cmd_serve(args) -> int:
         cfg = dataclasses.replace(cfg, min_update_rate=args.rate)
     source = SyntheticTerrainSource(resolution=cfg.resolution) if args.synthetic else None
     node = TraversabilityNode(cfg, source=source)
-    if args.map:
-        node.load_elevation_map(args.map)
+    if args.map and not node.load_elevation_map(args.map):
+        print(f"failed to load initial map {args.map}", file=sys.stderr)
+        return 1
     node.start()
     with TraversabilityServer(node, args.host, args.port) as srv:
         host, port = srv.address

@@ -796,15 +796,25 @@ class TraversabilityEstimator:
         """Load from a rosbag (reference checkpoint format) or an NPZ
         snapshot, then recompute traversability (loadElevationMap parity:
         recompute-on-load, TraversabilityEstimation.cpp:125-152)."""
-        if path.endswith(".bag"):
-            from traversability_estimation_tpu.utils.rosbag import load_grid_map_bag
+        try:
+            if path.endswith(".bag"):
+                from traversability_estimation_tpu.utils.rosbag import (
+                    load_grid_map_bag,
+                )
 
-            msg = load_grid_map_bag(path)
-            if not self.initialize_from_grid_map_msg(msg):
-                return False
-        else:
-            blob = np.load(path)
-            self.set_elevation_map(blob["layer_elevation"], blob["position"])
+                msg = load_grid_map_bag(path)
+                if not self.initialize_from_grid_map_msg(msg):
+                    return False
+            else:
+                blob = np.load(path)
+                self.set_elevation_map(blob["layer_elevation"], blob["position"])
+        except (OSError, ValueError, KeyError) as e:
+            # loadElevationMap returns false on unreadable input
+            # (TraversabilityEstimation.cpp:135-140)
+            import logging
+
+            logging.getLogger(__name__).error("load_elevation_map(%s): %s", path, e)
+            return False
         return self.update()
 
     def map_has_valid_traversability_at(self, x: float, y: float) -> bool:

@@ -87,13 +87,17 @@ class TraversabilityNode:
         # a persistent map keeps serving the last good state meanwhile.
         self.consecutive_failures = 0
         self.total_failures = 0
+        self._started = False
         # min_update_rate==0 disables the timer with a warning, matching
         # TraversabilityEstimation.cpp:38-42
         self.timer_enabled = self.config.min_update_rate > 0.0
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> None:
-        """Begin periodic updates (node main + createTimer parity)."""
+        """Begin periodic updates (node main + createTimer parity). Remembered
+        as intent: a later update_parameters that enables the timer spawns
+        the thread for a started node."""
+        self._started = True
         if not self.timer_enabled or self._timer is not None:
             return
         self._stop.clear()
@@ -101,6 +105,7 @@ class TraversabilityNode:
         self._timer.start()
 
     def stop(self) -> None:
+        self._started = False
         self._stop.set()
         if self._timer is not None:
             self._timer.join(timeout=30.0)
@@ -114,8 +119,12 @@ class TraversabilityNode:
         self.stop()
 
     def _timer_loop(self) -> None:
-        period = 1.0 / self.config.min_update_rate
         while not self._stop.is_set():
+            # re-read each tick so update_parameters rate changes take effect
+            rate = self.config.min_update_rate
+            if rate <= 0.0:
+                return  # timer disabled by a parameter reload
+            period = 1.0 / rate
             t0 = time.time()
             try:
                 ok = self.update_traversability()
@@ -223,17 +232,34 @@ class TraversabilityNode:
     ) -> bool:
         """``update_parameters`` service: accept a typed config or re-read
         YAML files (the rosparam-load analog, TraversabilityEstimation.cpp:
-        224-246); the next update re-jits with the new static config."""
+        224-246); the next update re-jits with the new static config.
+
+        YAML reload MERGES onto the current config (parameters a file does
+        not mention keep their current values — rosparam semantics, not a
+        reset to defaults). A rate change takes effect on the running timer;
+        enabling the timer on a started node spawns it, disabling stops it.
+        """
         if config is None:
             config = load_config(
                 robot_yaml=robot_yaml,
                 filter_yaml=filter_yaml,
                 footprint_yaml=footprint_yaml,
                 resolution=self.config.resolution,
+                base=self.config,
             )
         self.config = config
         self.timer_enabled = config.min_update_rate > 0.0
-        return self.estimator.update_parameters(config)
+        ok = self.estimator.update_parameters(config)
+        if self._started:
+            if self.timer_enabled and self._timer is None:
+                self._stop.clear()
+                self._timer = threading.Thread(target=self._timer_loop, daemon=True)
+                self._timer.start()
+            elif not self.timer_enabled and self._timer is not None:
+                self._stop.set()
+                self._timer.join(timeout=30.0)
+                self._timer = None
+        return ok
 
     # -- pushed inputs (subscriber analogs) -----------------------------------
     def push_image(

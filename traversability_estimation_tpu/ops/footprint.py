@@ -577,18 +577,18 @@ def _window_planes(state: QueryState, anchor_idx: Array, window):
     return cells, trav, win[:, 1] > 0.5, inmap
 
 
-def check_polygons_masked(
+def check_polygons(
     state: QueryState,
     vertices: Array,
     n_vertices: Array,
     anchors: Array,
     window,
 ) -> Tuple[Array, Array, Array]:
-    """General-polygon variant of ``check_polygons``: full per-cell masked
-    reduction over block-gathered windows. Handles NON-convex polygons
-    (crossing-number rasterization, grid_map PolygonIterator parity) — used
-    for raw user footprints; the span formulation below assumes convexity
-    (per-row contiguity) and serves the consecutive-footprint HULL batches."""
+    """Batched isTraversable(polygon) (TraversabilityMap.cpp:586-645) for
+    GENERAL (possibly non-convex) polygons: full per-cell masked reduction
+    over block-gathered windows (crossing-number rasterization, grid_map
+    PolygonIterator parity). Convex batches (consecutive-footprint hulls)
+    should use ``check_convex_polygons`` — ~5x faster via row spans."""
     B, M, _ = vertices.shape
     anchor_idx = _index_of(state, anchors)  # (B, 2)
     cells, trav_vals, ok_vals, inmap = _window_planes(state, anchor_idx, window)
@@ -611,7 +611,7 @@ def check_polygons_masked(
 
 
 def polygon_prefix_planes(state: QueryState) -> Tuple[Array, Array]:
-    """Per-row prefix sums consumed by ``check_polygons``: computed once per
+    """Per-row prefix sums consumed by ``check_convex_polygons``: computed once per
     traced query (XLA CSEs across the batch), they turn every hull-row
     reduction into two lookups.
 
@@ -637,16 +637,17 @@ def polygon_prefix_planes(state: QueryState) -> Tuple[Array, Array]:
     return counts, tv_pre
 
 
-def check_polygons(
+def check_convex_polygons(
     state: QueryState,
     vertices: Array,
     n_vertices: Array,
     anchors: Array,
     window,
 ) -> Tuple[Array, Array, Array]:
-    """Batched isTraversable(polygon) (TraversabilityMap.cpp:586-645).
+    """Batched isTraversable(polygon) for CONVEX polygons (consecutive-
+    footprint hulls; TraversabilityMap.cpp:586-645).
 
-    vertices: (B, M, 2) polygon vertices (first n_vertices real, CCW or CW);
+    vertices: (B, M, 2) CONVEX polygon vertices (first n_vertices real);
     anchors: (B, 2) map positions around which the static raster window is
     centered — the window (int square or (wi, wj) pair of cells) must cover
     the polygon. Returns (ok (B,), traversability (B,), n_cells (B,)).
@@ -745,7 +746,7 @@ def check_polygonal_paths(
     polys = transform_footprint(footprint, positions, quaternions)  # (P, N, V, 2)
 
     # --- single-pose: raw user footprint, possibly non-convex ---------------
-    ok1, trav1, _ = check_polygons_masked(
+    ok1, trav1, _ = check_polygons(
         state,
         polys[:, 0, :, :],
         jnp.full((P,), V, jnp.int32),
@@ -779,7 +780,7 @@ def check_polygonal_paths(
     mids = 0.5 * (positions[:, 1:, :2] + positions[:, :-1, :2]).reshape(
         P * (N - 1), 2
     )
-    seg_ok, seg_trav, _ = check_polygons(state, hulls, n_hull, mids, window)
+    seg_ok, seg_trav, _ = check_convex_polygons(state, hulls, n_hull, mids, window)
     seg_ok = seg_ok.reshape(P, N - 1)
     seg_trav = seg_trav.reshape(P, N - 1)
 

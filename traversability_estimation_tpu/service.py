@@ -83,11 +83,14 @@ def _parse_path(obj: Dict) -> FootprintPath:
 class TraversabilityServer:
     """Serve a TraversabilityNode's API over TCP (threaded, JSON-lines)."""
 
+    class _Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True  # fast restarts (no TIME_WAIT bind errors)
+        daemon_threads = True
+
     def __init__(self, node: TraversabilityNode, host: str = "127.0.0.1", port: int = 0):
         self.node = node
         handler = self._make_handler()
-        self._srv = socketserver.ThreadingTCPServer((host, port), handler)
-        self._srv.daemon_threads = True
+        self._srv = self._Server((host, port), handler)
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -176,10 +179,13 @@ class TraversabilityServer:
             )
             return {"ok": bool(ok)}
         if name == "set_elevation_map":  # push input (subscriber analog)
-            node.push_initial_grid_map(
+            accepted = node.push_initial_grid_map(
                 decode_plane(req["elevation"]),
                 tuple(req.get("position", (0.0, 0.0))),
             )
+            if not accepted:
+                # initialized-map gate (TraversabilityEstimation.cpp:331-337)
+                return {"ok": False, "error": "map already initialized"}
             return {"ok": True}
         return {"ok": False, "error": f"unknown service {name!r}"}
 

@@ -38,28 +38,46 @@ _DEFAULT_OUTPUTS = {
 }
 
 
+_CANONICAL_ORDER = (
+    "gridMapFilters/NormalVectorsFilter",
+    "traversabilityFilters/SlopeFilter",
+    "traversabilityFilters/StepFilter",
+    "traversabilityFilters/RoughnessFilter",
+    "gridMapFilters/MathExpressionFilter",
+    "gridMapFilters/DeletionFilter",
+)
+_NORMAL_LAYERS = {"surface_normal_x", "surface_normal_y", "surface_normal_z"}
+
+
 def _is_canonical(specs: Sequence[FilterSpec]) -> bool:
-    """True when the fused fast path (ChainConfig) represents this chain
-    exactly; anything else routes through the generic declarative chain."""
-    seen = set()
-    normals_seen = False
+    """True ONLY when the fused fast path (ChainConfig) represents this chain
+    exactly: each canonical filter at most once, in the reference order
+    (the fused path computes normals -> slope -> step -> roughness ->
+    fusion regardless of the list), default layer names, and a Deletion
+    stage that drops nothing but the normals (the fused path never persists
+    them anyway). Anything else routes through the generic compiled chain."""
+    order_pos = -1
     for s in specs:
-        if s.type not in _CANONICAL_TYPES or s.type in seen:
+        if s.type not in _CANONICAL_TYPES:
             return False
-        seen.add(s.type)
+        pos = _CANONICAL_ORDER.index(s.type)
+        if pos <= order_pos:  # out of order or duplicate
+            return False
+        order_pos = pos
         if s.type == "gridMapFilters/NormalVectorsFilter":
             if s.param("input_layer", "elevation") != "elevation" or s.param(
                 "output_layers_prefix", "surface_normal_"
             ) != "surface_normal_":
                 return False
-            normals_seen = True
         elif s.type in _DEFAULT_OUTPUTS:
             if s.param("map_type", _DEFAULT_OUTPUTS[s.type]) != _DEFAULT_OUTPUTS[s.type]:
                 return False
-            if s.type != "traversabilityFilters/StepFilter" and not normals_seen:
-                return False
         elif s.type == "gridMapFilters/MathExpressionFilter":
             if s.param("output_layer", "traversability") != "traversability":
+                return False
+        elif s.type == "gridMapFilters/DeletionFilter":
+            victims = set(str(v) for v in (s.param("layers", ()) or ()))
+            if not victims <= _NORMAL_LAYERS:
                 return False
     return True
 
@@ -175,9 +193,12 @@ def load_config(
     filter_yaml: Optional[str] = None,
     footprint_yaml: Optional[str] = None,
     resolution: float = 0.03,
+    base: Optional["EstimatorConfig"] = None,
 ) -> EstimatorConfig:
     """Load an EstimatorConfig from reference-format YAML files. Any file may
-    be omitted; defaults match the reference code defaults."""
+    be omitted. With `base` (hot-reload path), parameters the files do not
+    mention keep the base config's values — rosparam-load semantics; without
+    it, defaults match the reference code defaults."""
     robot = {}
     if robot_yaml:
         with open(robot_yaml) as f:
@@ -192,45 +213,74 @@ def load_config(
         with open(footprint_yaml) as f:
             fp_doc = (yaml.safe_load(f) or {}).get("footprint", {})
 
-    chain = _chain_from_filter_list(filters, resolution)
-    specs = tuple(FilterSpec.from_dict(e) for e in filters)
+    if base is not None:
+        resolution = base.resolution
+    bf = base.footprint if base is not None else FootprintConfig()
+
+    if filters:
+        chain = _chain_from_filter_list(filters, resolution)
+        specs = tuple(FilterSpec.from_dict(e) for e in filters)
+        generic = bool(specs) and not _is_canonical(specs)
+    elif base is not None:
+        chain = base.chain
+        specs = base.filter_specs
+        generic = base.use_generic_chain
+    else:
+        chain = _chain_from_filter_list([], resolution)
+        specs = ()
+        generic = False
+
     footprint = FootprintConfig(
         footprint_polygon=tuple(
-            tuple(p) for p in fp_doc.get(
-                "footprint_polygon",
-                FootprintConfig.footprint_polygon,
+            tuple(p)
+            for p in fp_doc.get("footprint_polygon", bf.footprint_polygon)
+        ),
+        circular_footprint_radius=float(
+            fp_doc.get("circular_footprint_radius", bf.circular_footprint_radius)
+        ),
+        circular_footprint_radius_inscribed=float(
+            fp_doc.get(
+                "circular_footprint_radius_inscribed",
+                bf.circular_footprint_radius_inscribed,
             )
         ),
-        circular_footprint_radius=float(fp_doc.get("circular_footprint_radius", 0.541)),
-        circular_footprint_radius_inscribed=float(
-            fp_doc.get("circular_footprint_radius_inscribed", 0.30)
+        circular_footprint_offset=float(
+            fp_doc.get("circular_footprint_offset", bf.circular_footprint_offset)
         ),
-        circular_footprint_offset=float(fp_doc.get("circular_footprint_offset", 0.15)),
-        footprint_frame_id=str(fp_doc.get("footprint_frame_id", "base")),
-        traversability_default=float(fp_doc.get("traversability_default", 0.5)),
-        verify_roughness_footprint=bool(fp_doc.get("verify_roughness_footprint", False)),
-        check_robot_inclination=bool(fp_doc.get("check_robot_inclination", False)),
+        footprint_frame_id=str(
+            fp_doc.get("footprint_frame_id", bf.footprint_frame_id)
+        ),
+        traversability_default=float(
+            fp_doc.get("traversability_default", bf.traversability_default)
+        ),
+        verify_roughness_footprint=bool(
+            fp_doc.get("verify_roughness_footprint", bf.verify_roughness_footprint)
+        ),
+        check_robot_inclination=bool(
+            fp_doc.get("check_robot_inclination", bf.check_robot_inclination)
+        ),
     )
+    b = base if base is not None else EstimatorConfig(resolution=resolution)
     return EstimatorConfig(
         resolution=resolution,
-        map_frame_id=str(robot.get("map_frame_id", "map")),
-        robot_frame_id=str(robot.get("robot_frame_id", "base")),
-        min_update_rate=float(robot.get("min_update_rate", 1.0)),
+        map_frame_id=str(robot.get("map_frame_id", b.map_frame_id)),
+        robot_frame_id=str(robot.get("robot_frame_id", b.robot_frame_id)),
+        min_update_rate=float(robot.get("min_update_rate", b.min_update_rate)),
         map_length=(
-            float(robot.get("map_length_x", 4.0)),
-            float(robot.get("map_length_y", 4.0)),
+            float(robot.get("map_length_x", b.map_length[0])),
+            float(robot.get("map_length_y", b.map_length[1])),
         ),
         map_center=(
-            float(robot.get("map_center_x", 0.0)),
-            float(robot.get("map_center_y", 0.0)),
+            float(robot.get("map_center_x", b.map_center[0])),
+            float(robot.get("map_center_y", b.map_center[1])),
         ),
-        footprint_yaw=float(robot.get("footprint_yaw", 1.5708)),
-        max_gap_width=float(robot.get("max_gap_width", 0.3)),
-        use_raw_map=bool(robot.get("use_raw_map", False)),
+        footprint_yaw=float(robot.get("footprint_yaw", b.footprint_yaw)),
+        max_gap_width=float(robot.get("max_gap_width", b.max_gap_width)),
+        use_raw_map=bool(robot.get("use_raw_map", b.use_raw_map)),
         chain=chain,
         footprint=footprint,
         filter_specs=specs,
-        use_generic_chain=bool(specs) and not _is_canonical(specs),
+        use_generic_chain=generic,
     )
 
 
