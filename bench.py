@@ -184,6 +184,40 @@ def main():
     t_update = per_iter(time.perf_counter() - t0, K_UPD)
     log(f"map update true: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
 
+    # BASELINE config 2: dense traversability_footprint layer (the reference
+    # footprint polygon scored at EVERY cell — TraversabilityMap.cpp:239-305)
+    fp_cfg = np.asarray(est.config.footprint.footprint_polygon, np.float32)
+    state0 = est.query_state
+
+    K_DENSE = 16
+
+    @jax.jit
+    def dense_loop(t):
+        def body(carry, _):
+            # carry perturbation keeps iterations loop-dependent (a f32
+            # multiply by 0 is not foldable: carry could be inf/NaN)
+            st = fp_ops.QueryState(
+                traversability=state0.traversability + 0.0 * carry,
+                traversable_mask=state0.traversable_mask,
+                position=state0.position,
+                resolution=state0.resolution,
+                default_traversability=state0.default_traversability,
+            )
+            ok, tv = fp_ops.dense_polygon_field(st, fp_cfg)
+            layer = jnp.where(ok, tv, 0.0)
+            return carry + 1e-12 * layer[0, 0], layer[0, 0]
+        c, _ = jax.lax.scan(body, t, None, length=K_DENSE)
+        return c
+
+    np.asarray(dense_loop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    np.asarray(dense_loop(jnp.float32(0)))
+    t_dense = per_iter(time.perf_counter() - t0, K_DENSE)
+    log(
+        f"dense footprint layer (config 2): {t_dense*1e3:.2f} ms for {H*W:,} "
+        f"cell-placements -> {H*W/t_dense/1e6:.1f} M placements/s"
+    )
+
     rng = np.random.default_rng(3)
     P, N = 1024, 50
     extent = H * res / 2 * 0.8
