@@ -102,6 +102,52 @@ def test_tiled_paths_offmap_default(setup):
     assert np.asarray(trav)[0] == pytest.approx(0.5)
 
 
+def test_tiled_polygonal_paths_match_local(setup):
+    mesh, layers, state, (H, W) = setup
+    rng = np.random.default_rng(21)
+    P, N = 32, 5
+    footprint = np.array(
+        [[0.12, 0.08], [0.12, -0.08], [-0.12, -0.08], [-0.12, 0.08]], np.float32
+    )
+    extent_x, extent_y = H * RES / 2, W * RES / 2
+    starts = np.stack(
+        [rng.uniform(-extent_x, extent_x, P), rng.uniform(-extent_y, extent_y, P)],
+        -1,
+    )
+    steps = rng.uniform(-0.12, 0.12, (P, N - 1, 2))
+    poses2 = np.concatenate(
+        [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+    )
+    yaws = rng.uniform(0, 2 * np.pi, (P, N))
+    pos3 = np.concatenate([poses2, np.zeros((P, N, 1))], -1).astype(np.float32)
+    quats = np.zeros((P, N, 4), np.float32)
+    quats[..., 2] = np.sin(yaws / 2)
+    quats[..., 3] = np.cos(yaws / 2)
+    n_poses = rng.integers(1, N + 1, P).astype(np.int32)
+
+    for conservative in (False, True):
+        window = fp_ops.polygon_window_cells(footprint, 0.25, RES, conservative)
+        safe_t, trav_t, area_t = sh.check_polygonal_paths_tiled(
+            {
+                "traversability": layers["traversability"],
+                "traversable_mask": layers["traversable_mask"],
+            },
+            pos3, quats, n_poses,
+            tuple(map(tuple, footprint.tolist())),
+            mesh, window, conservative, (0.0, 0.0), RES, 0.5,
+        )
+        safe_r, trav_r, area_r = fp_ops.check_polygonal_paths(
+            state, pos3, quats, n_poses, footprint, window, conservative
+        )
+        np.testing.assert_array_equal(np.asarray(safe_t), np.asarray(safe_r))
+        np.testing.assert_allclose(
+            np.asarray(trav_t), np.asarray(trav_r), rtol=0, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(area_t), np.asarray(area_r), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_tiled_single_pose_cell_center(setup):
     mesh, layers, state, (H, W) = setup
     rng = np.random.default_rng(3)

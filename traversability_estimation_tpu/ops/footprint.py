@@ -514,8 +514,20 @@ def transform_footprint(
     r11 = 1 - s * (x * x + z * z)
     px = fp[:, 0]
     py = fp[:, 1]
-    out_x = r00[..., None] * px + r01[..., None] * py + positions[..., 0:1]
-    out_y = r10[..., None] * px + r11[..., None] * py + positions[..., 1:2]
+    # pin the products' rounding: downstream hull construction compares
+    # cross products EXACTLY against 0 (collinearity), so vertex values must
+    # be bit-identical across jit contexts (FMA contraction varies with the
+    # surrounding fusion and was observed to corrupt hulls under shard_map)
+    a, b, c, d = jax.lax.optimization_barrier(
+        (
+            r00[..., None] * px,
+            r01[..., None] * py,
+            r10[..., None] * px,
+            r11[..., None] * py,
+        )
+    )
+    out_x = a + b + positions[..., 0:1]
+    out_y = c + d + positions[..., 1:2]
     return jnp.stack([out_x, out_y], axis=-1)
 
 

@@ -46,9 +46,20 @@ def hull_edge_matrix(points: Array, valid: Array) -> Array:
     dot = jx * kx + jy * ky
     len2 = jx * jx + jy * jy  # |j - i|^2, broadcast over k
 
-    left = cross > 0.0
-    # collinear k allowed only when between i and j (inclusive)
-    between = (cross == 0.0) & (dot >= 0.0) & (dot <= len2)
+    # TOLERANCE-BANDED collinearity instead of exact `cross == 0`: upstream
+    # vertex coordinates are only reproducible to ~1 ulp across jit contexts
+    # (XLA FMA contraction varies with the fusion neighborhood), and an exact
+    # test lets that last bit flip edge classifications inconsistently —
+    # observed as corrupted successor walks (no valid cycle) under shard_map.
+    # The band scales with |j-i||k-i| (the cross product's magnitude scale):
+    # points within ~1e-4 rad of an edge count as collinear, orders of
+    # magnitude above f32 noise yet thinner than any real map feature.
+    k_len2 = kx * kx + ky * ky
+    eps = 1e-4 * jnp.sqrt(len2 * k_len2) + 1e-30
+    left = cross > eps
+    # near-collinear k allowed only when between i and j (inclusive, with the
+    # same tolerance along the edge)
+    between = (jnp.abs(cross) <= eps) & (dot >= -eps) & (dot <= len2 + eps)
     k_ok = left | between | ~valid[..., None, None, :]
     all_ok = jnp.all(k_ok, axis=-1)  # (.., i, j)
 

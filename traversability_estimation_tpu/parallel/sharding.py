@@ -388,3 +388,200 @@ def check_circular_paths_tiled(
         out_specs=(P(), P()), check_vma=False,
     )
     return fn(field_ok, field_trav)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def check_polygonal_paths_tiled(
+    layers: Dict[str, Array],
+    positions: Array,
+    quaternions: Array,
+    n_poses: Array,
+    footprint_t: Tuple[Tuple[float, float], ...],
+    mesh: Mesh,
+    window,
+    conservative: bool = False,
+    position: Tuple[float, float] = (0.0, 0.0),
+    resolution: float = 0.03,
+    default_traversability: float = 0.5,
+    orig_shape: Optional[Tuple[int, int]] = None,
+) -> Tuple[Array, Array, Array]:
+    """Batched polygonal footprint paths against the ('x','y')-SHARDED map —
+    no replication. The convex-hull row-span formulation distributes
+    naturally: every device computes the same global spans (replicated pose
+    math), intersects each span with its own tile's column range, looks up
+    its LOCAL prefix planes, and one psum over the mesh assembles the exact
+    global reductions (each in-map cell belongs to exactly one tile).
+
+    Restriction of this large-map mode: the footprint must be CONVEX (the
+    single-pose branch also uses the span scorer). `footprint_t` is a static
+    tuple of (x, y) vertex pairs; `window` as in fp_ops.polygon_window_cells.
+    Returns (is_safe, traversability, area), replicated on every device.
+    """
+    from traversability_estimation_tpu.grid.geometry import (
+        polygon_area,
+        polygon_contains,
+    )
+    from traversability_estimation_tpu.ops.footprint import transform_footprint
+    from traversability_estimation_tpu.ops.hull import convex_hull_batch
+
+    footprint = np.asarray(footprint_t, np.float32)
+    trav_full = layers["traversability"]
+    mask_full = layers["traversable_mask"]
+    H, W = trav_full.shape if orig_shape is None else orig_shape
+    positions = jnp.asarray(positions, jnp.float32)
+    quaternions = jnp.asarray(quaternions, jnp.float32)
+    n_poses = jnp.asarray(n_poses, jnp.int32)
+    Pn, N, _ = positions.shape
+    V = footprint.shape[0]
+    default = jnp.float32(default_traversability)
+    wi, wj = (window, window) if isinstance(window, int) else window
+    half_i, half_j = wi // 2, wj // 2
+    p0x = float(position[0]) + H * resolution * 0.5
+    p0y = float(position[1]) + W * resolution * 0.5
+
+    def body(trav_tile, mask_tile, positions, quaternions, n_poses):
+        th, tw = trav_tile.shape
+        gi0 = jax.lax.axis_index("x") * th
+        gj0 = jax.lax.axis_index("y") * tw
+
+        # local prefix planes; cells beyond the ORIGINAL map bounds (mesh
+        # divisibility padding) contribute nothing
+        lrow = gi0 + jnp.arange(th)[:, None]
+        lcol = gj0 + jnp.arange(tw)[None, :]
+        in_map = (lrow < H) & (lcol < W)
+        ok_t = mask_tile & in_map
+        tvf = jnp.where(
+            jnp.isfinite(trav_tile), trav_tile, default
+        )
+        counts_cell = ((~ok_t) & in_map).astype(jnp.int32) * 65536 + ok_t.astype(
+            jnp.int32
+        )
+        tv_cell = jnp.where(ok_t, tvf, 0.0)
+        zi = jnp.zeros((th, 1), jnp.int32)
+        zf = jnp.zeros((th, 1), jnp.float32)
+        counts_p = jnp.concatenate([zi, jnp.cumsum(counts_cell, axis=1)], axis=1)
+        tv_p = jnp.concatenate([zf, jnp.cumsum(tv_cell, axis=1)], axis=1)
+
+        def scorer(vertices, nv, anchors):
+            """(ok, trav, n_cells) for convex polygons via tile-intersected
+            span lookups + psum."""
+            ai = jnp.floor(
+                (p0x - anchors[:, 0]) / resolution
+            ).astype(jnp.int32)
+            aj = jnp.floor(
+                (p0y - anchors[:, 1]) / resolution
+            ).astype(jnp.int32)
+            gi = ai[:, None] + (jnp.arange(wi, dtype=jnp.int32) - half_i)
+            gj = aj[:, None] + (jnp.arange(wj, dtype=jnp.int32) - half_j)
+            px = p0x - (gi.astype(jnp.float32) + 0.5) * resolution
+            py = p0y - (gj.astype(jnp.float32) + 0.5) * resolution
+            B = px.shape[0]
+            cp = jnp.stack(
+                [
+                    jnp.broadcast_to(px[:, :, None], (B, wi, wj)),
+                    jnp.broadcast_to(py[:, None, :], (B, wi, wj)),
+                ],
+                axis=-1,
+            )
+            inside = jax.vmap(polygon_contains)(vertices, nv, cp)
+            any_row = jnp.any(inside, axis=-1)
+            j_first = jnp.argmax(inside, axis=-1).astype(jnp.int32)
+            j_last = wj - 1 - jnp.argmax(inside[..., ::-1], axis=-1).astype(jnp.int32)
+            g0 = jnp.clip(gj[:, 0:1] + j_first, 0, W)
+            g1 = jnp.clip(gj[:, 0:1] + j_last + 1, 0, W)
+            row_ok = any_row & (gi >= 0) & (gi < H) & (g1 > g0)
+
+            # intersect with this tile's rows/cols
+            l0 = jnp.clip(g0 - gj0, 0, tw)
+            l1 = jnp.clip(g1 - gj0, 0, tw)
+            li = gi - gi0
+            mine = row_ok & (li >= 0) & (li < th) & (l1 > l0)
+            lrow_c = jnp.clip(li, 0, th - 1)
+            lin0 = lrow_c * (tw + 1) + jnp.where(mine, l0, 0)
+            lin1 = lrow_c * (tw + 1) + jnp.where(mine, l1, 0)
+            c0 = jnp.take(counts_p.reshape(-1), lin0)
+            c1 = jnp.take(counts_p.reshape(-1), lin1)
+            t0 = jnp.take(tv_p.reshape(-1), lin0)
+            t1 = jnp.take(tv_p.reshape(-1), lin1)
+            dc = jnp.where(mine, c1 - c0, 0)
+            dtv = jnp.where(mine, t1 - t0, 0.0)
+            dc = jax.lax.psum(dc, ("x", "y"))
+            dtv = jax.lax.psum(dtv, ("x", "y"))
+            fail_cnt = dc // 65536
+            pass_cnt = dc - fail_cnt * 65536
+            fail = jnp.sum(fail_cnt, axis=-1) > 0
+            n_cells = jnp.sum(pass_cnt, axis=-1)
+            mean = jnp.sum(dtv, axis=-1) / jnp.maximum(n_cells, 1)
+            empty = (n_cells == 0) & ~fail
+            ok = ~fail & jnp.where(empty, default != 0.0, True)
+            trav = jnp.where(fail, 0.0, jnp.where(empty, default, mean))
+            return ok, trav, n_cells
+
+        polys = transform_footprint(footprint, positions, quaternions)
+        ok1, trav1, _ = scorer(
+            polys[:, 0, :, :], jnp.full((Pn,), V, jnp.int32), positions[:, 0, :2]
+        )
+        area1 = jax.vmap(polygon_area, in_axes=(0, None))(polys[:, 0], V)
+        if N == 1:
+            safe = ok1 & (n_poses >= 1)
+            return (
+                safe,
+                jnp.where(ok1, trav1, 0.0),
+                jnp.where(ok1, area1, 0.0),
+            )
+
+        prev = polys[:, :-1, :, :]
+        cur = polys[:, 1:, :, :]
+        if conservative:
+            d = (positions[:, 1:, :2] - positions[:, :-1, :2])[:, :, None, :]
+            poly1 = jnp.concatenate([prev, cur - d], axis=2)
+            poly2 = jnp.concatenate([cur, prev + d], axis=2)
+        else:
+            poly1 = prev
+            poly2 = cur
+        Mv = poly1.shape[2]
+        points = jnp.concatenate([poly1, poly2], axis=2)
+        flat_pts = points.reshape(Pn * (N - 1), 2 * Mv, 2)
+        hulls, n_hull = convex_hull_batch(
+            flat_pts, jnp.full((Pn * (N - 1),), 2 * Mv, jnp.int32)
+        )
+        mids = 0.5 * (positions[:, 1:, :2] + positions[:, :-1, :2]).reshape(
+            Pn * (N - 1), 2
+        )
+        seg_ok, seg_trav, _ = scorer(hulls, n_hull, mids)
+        seg_ok = seg_ok.reshape(Pn, N - 1)
+        seg_trav = seg_trav.reshape(Pn, N - 1)
+        hull_area = jax.vmap(polygon_area)(hulls, n_hull).reshape(Pn, N - 1)
+        poly1_flat = poly1.reshape(Pn * (N - 1), Mv, 2)
+        poly1_area = jax.vmap(polygon_area, in_axes=(0, None))(
+            poly1_flat, Mv
+        ).reshape(Pn, N - 1)
+
+        seg_valid = jnp.arange(1, N)[None, :] < n_poses[:, None]
+        multi_ok = jnp.all(seg_ok | ~seg_valid, axis=-1)
+        first_w = hull_area[:, 0]
+        later_w = hull_area[:, 1:] - poly1_area[:, 1:]
+        weights = jnp.concatenate([first_w[:, None], later_w], axis=1)
+        weights = jnp.where(seg_valid, weights, 0.0)
+        total_area = jnp.sum(weights, axis=-1)
+        trav_multi = jnp.sum(weights * seg_trav, axis=-1) / jnp.where(
+            total_area != 0.0, total_area, 1.0
+        )
+        is_single = n_poses == 1
+        safe = jnp.where(is_single, ok1, multi_ok) & (n_poses >= 1)
+        trav = jnp.where(is_single, jnp.where(ok1, trav1, 0.0), trav_multi)
+        area = jnp.where(is_single, jnp.where(ok1, area1, 0.0), total_area)
+        trav = jnp.where(safe, trav, 0.0)
+        area = jnp.where(safe | is_single, area, 0.0)
+        return safe, trav, area
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        # pose data explicitly replicated: closure capture of outer-jit
+        # tracers is unreliable under shard_map(check_vma=False)
+        in_specs=(P("x", "y"), P("x", "y"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(trav_full, mask_full, positions, quaternions, n_poses)
