@@ -92,6 +92,7 @@ def test_bag_structure_is_spec_conformant(tmp_path):
     assert b"GridMapInfo info" in conn_fields[b"message_definition"]
 
 
+@pytest.mark.slow
 def test_estimator_save_load_bag_cycle(tmp_path):
     from traversability_estimation_tpu.models import TraversabilityEstimator
     from traversability_estimation_tpu.utils.config import EstimatorConfig

@@ -233,6 +233,7 @@ def test_reference_yaml_routes_to_fast_path():
     assert not cfg.use_generic_chain  # reference chain is canonical
 
 
+@pytest.mark.slow
 def test_inclination_gate_via_generic_chain():
     """checkInclination (TraversabilityMap.cpp:748-762) is dormant in the
     reference unless a configured chain produces `robot_slope` — with the

@@ -82,6 +82,7 @@ def test_batched_path_api(estimator, rng):
     assert np.asarray(trav)[np.asarray(safe)].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_traversability_footprint_services(estimator):
     m = estimator.traversability_footprint(0.7854)
     assert "traversability_x" in m.layers and "traversability_rot" in m.layers
@@ -109,6 +110,7 @@ def test_load_reference_bag(golden_map):
     assert est.initialized
 
 
+@pytest.mark.slow
 def test_image_ingestion():
     est = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
     img = np.linspace(0, 1, 32 * 32, dtype=np.float32).reshape(32, 32)

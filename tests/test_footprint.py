@@ -116,6 +116,7 @@ class TestCircles:
 
 
 class TestCircularPaths:
+    @pytest.mark.slow
     def test_paths_match_oracle(self, setup, rng):
         m, layers, state, fresh_oracle = setup
         P, N = 40, 5
@@ -178,6 +179,7 @@ class TestPolygons:
                 assert trav[b] == pytest.approx(o_trav, abs=2e-5)
         assert ok.sum() > 0 and (~ok).sum() > 0
 
+    @pytest.mark.slow
     def test_polygonal_paths_match_oracle(self, setup, rng):
         m, layers, state, fresh_oracle = setup
         fp = np.array(
@@ -225,6 +227,7 @@ class TestPolygons:
 
 
 class TestDenseFields:
+    @pytest.mark.slow
     def test_dense_polygon_field_matches_oracle(self, setup):
         m, layers, state, fresh_oracle = setup
         fp = np.array(

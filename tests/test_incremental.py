@@ -12,6 +12,7 @@ def world(terrain):
     return terrain(192, 192, 0.03, seed=91, nan_frac=0.04)
 
 
+@pytest.mark.slow
 def test_incremental_update_matches_full(world, terrain):
     est_inc = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
     est_full = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
@@ -39,6 +40,7 @@ def test_incremental_update_matches_full(world, terrain):
             np.testing.assert_allclose(a[both], b[both], atol=1e-6, err_msg=layer)
 
 
+@pytest.mark.slow
 def test_incremental_at_map_edge(world, terrain):
     est_inc = TraversabilityEstimator(EstimatorConfig(resolution=0.03))
     est_full = TraversabilityEstimator(EstimatorConfig(resolution=0.03))

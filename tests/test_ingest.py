@@ -39,6 +39,7 @@ def elev():
     return synthetic_terrain(24, 24, RES, seed=1)
 
 
+@pytest.mark.slow
 def test_msg_ingest_requires_fused_layers(elev):
     est = TraversabilityEstimator(EstimatorConfig(resolution=RES))
     # missing upper/lower_bound -> rejected (fused layer set)

@@ -63,6 +63,11 @@ def test_two_process_sharded_update(tmp_path):
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
     env["JAX_PLATFORMS"] = "cpu"
+    # the workers run as scripts from tmp_path; make the repo importable
+    # without requiring an installed package
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     # unique coordinator port per run: a fixed one collides with lingering
     # workers from previous/parallel runs
     port = 20000 + os.getpid() % 20000

@@ -30,6 +30,7 @@ def _source(seed=0, n=48):
     )
 
 
+@pytest.mark.slow
 def test_timer_loop_updates_and_publishes():
     cfg = EstimatorConfig(resolution=RES, min_update_rate=20.0, map_length=(1.0, 1.0))
     node = TraversabilityNode(cfg, source=_source())
@@ -172,6 +173,7 @@ def server():
         yield srv
 
 
+@pytest.mark.slow
 def test_service_roundtrip_all_seven(server, tmp_path):
     host, port = server.address
     with TraversabilityClient(host, port) as cli:
@@ -239,6 +241,7 @@ def test_service_push_elevation(server):
         assert resp["map_info"]["position"][:2] == pytest.approx([0.1, -0.2])
 
 
+@pytest.mark.slow
 def test_cli_run_golden(tmp_path, capsys):
     import os
 

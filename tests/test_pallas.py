@@ -14,6 +14,7 @@ from traversability_estimation_tpu.ops.filters import ChainConfig, run_chain_jit
 from traversability_estimation_tpu.ops.veto import VetoConfig, compute_veto_fields_jit
 
 
+@pytest.mark.slow
 def test_fused_update_matches_xla(terrain, monkeypatch):
     res = 0.03
     elev = terrain(96, 96, res, seed=61, nan_frac=0.08)

@@ -19,6 +19,7 @@ def est(terrain):
     return e
 
 
+@pytest.mark.slow
 def test_set_traversability_map(est):
     layers = {k: np.asarray(v) for k, v in est.traversability_map.layers.items()}
     est2 = TraversabilityEstimator(est.config)
@@ -57,6 +58,7 @@ def test_default_traversability_restore(est):
     assert est._traversability_default == est.config.footprint.traversability_default
 
 
+@pytest.mark.slow
 def test_inclination_gate(terrain):
     cfg = EstimatorConfig(
         resolution=0.03,
@@ -93,6 +95,7 @@ def test_mixed_polygonal_batch_grouping(est):
         assert r.traversability == pytest.approx(s.traversability, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_online_loop_with_sources(terrain):
     from traversability_estimation_tpu.utils.sources import SyntheticTerrainSource
     from traversability_estimation_tpu.utils.profiling import LatencyTracker

@@ -41,7 +41,10 @@ def _reference(elev):
     return layers
 
 
-@pytest.mark.parametrize("shape", [(96, 96), (100, 133)])  # odd shape -> padding
+@pytest.mark.parametrize(
+    "shape",
+    [(96, 96), pytest.param((100, 133), marks=pytest.mark.slow)],
+)  # odd shape -> padding
 def test_sharded_update_matches_unsharded(mesh, terrain, shape):
     elev = terrain(shape[0], shape[1], 0.03, seed=31, nan_frac=0.1)
     padded, orig = sh.pad_to_mesh(elev, mesh)
@@ -68,6 +71,7 @@ def test_sharded_update_golden(mesh, golden_map):
     assert (np.abs(ours - g) > 1e-3).sum() <= 2
 
 
+@pytest.mark.slow
 def test_replicated_queries_match(mesh, terrain, rng):
     elev = terrain(96, 96, 0.03, seed=33, nan_frac=0.05)
     out = sh.sharded_update(jnp.asarray(elev), CHAIN, VETO, mesh)

@@ -102,6 +102,7 @@ def test_tiled_paths_offmap_default(setup):
     assert np.asarray(trav)[0] == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_tiled_polygonal_paths_match_local(setup):
     mesh, layers, state, (H, W) = setup
     rng = np.random.default_rng(21)

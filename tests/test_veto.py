@@ -45,6 +45,7 @@ def _assert_match(layers, resolution, cfg):
         np.testing.assert_array_equal(np.asarray(dense["roughness_ok"]), rough_o)
 
 
+@pytest.mark.slow
 def test_veto_matches_oracle_on_golden_crop(golden_map):
     sl = np.s_[30:80, 40:106]
     layers = {
@@ -63,6 +64,7 @@ def test_veto_matches_oracle_on_golden_crop(golden_map):
     _assert_match(layers, golden_map.resolution, cfg)
 
 
+@pytest.mark.slow
 def test_veto_matches_oracle_synthetic(terrain):
     res = 0.03
     elev = terrain(40, 48, res, seed=11, nan_frac=0.1)
@@ -81,6 +83,7 @@ def test_veto_matches_oracle_coarse(terrain):
     _assert_match(layers, res, cfg)
 
 
+@pytest.mark.slow
 def test_footprint_parity_layers(golden_map):
     sl = np.s_[30:60, 40:80]
     layers = {
