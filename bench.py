@@ -251,11 +251,13 @@ def main():
         return pK[0, 0, 0]
 
     # BASELINE config 3's polygonal variant: same 1024 paths x 50 poses swept
-    # by the reference footprint rectangle (hulls of consecutive footprints)
+    # by the reference footprint rectangle (hulls of consecutive footprints).
+    # Grouped evaluator: one fetched window per PATH, swept-hull emission
+    # (identity quats + convex footprint), exact vs the per-segment oracle.
     footprint = np.asarray(est.config.footprint.footprint_polygon, np.float32)
-    seg = np.linalg.norm(np.diff(poses, axis=1), axis=-1)
-    window = fp_ops.polygon_window_cells(
-        footprint, float(seg.max()), res, False, identity_orientation=True
+    ext = poses.max(axis=1) - poses.min(axis=1)
+    gwindow = fp_ops.path_group_window(
+        footprint, ext, res, identity_orientation=True
     )
     pos3 = jnp.asarray(
         np.concatenate([poses, np.zeros((P, N, 1), np.float32)], -1)
@@ -264,13 +266,14 @@ def main():
     quats[..., 3] = 1.0
     quats_dev = jnp.asarray(quats)
 
-    K_POLY = 4
+    K_POLY = 16
 
     @jax.jit
     def poly_loop(p):
         def body(carry, _):
-            s, t, a = fp_ops.check_polygonal_paths(
-                state, carry, quats_dev, n_poses, footprint, window, False
+            s, t, a = fp_ops.check_polygonal_paths_grouped(
+                state, carry, quats_dev, n_poses, footprint, gwindow, False,
+                translate_only=True,
             )
             return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
         pK, _ = jax.lax.scan(body, p, None, length=K_POLY)

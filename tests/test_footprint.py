@@ -272,3 +272,166 @@ class TestDenseFields:
             elif o_ok and abs(trav_f[i, j] - o_trav) > 5e-5:
                 mismatch += 1
         assert mismatch <= 1
+
+
+class TestSweptHullTranslates:
+    """The identity-orientation fast path: hull(P u P+d) emitted as O(V)
+    selects (fp_ops.swept_hull_translates) must equal the general device
+    hull geometrically and keep oracle parity end to end."""
+
+    def test_emission_matches_general_hull(self, rng):
+        fp = np.array(
+            [[0.45, 0.3], [0.45, -0.3], [-0.45, -0.3], [-0.45, 0.3]], np.float32
+        )
+        B = 64
+        p1 = rng.uniform(-1, 1, (B, 2)).astype(np.float32)
+        # include degenerate d = 0 and axis-aligned translations
+        d = rng.uniform(-0.5, 0.5, (B, 2)).astype(np.float32)
+        d[0] = 0.0
+        d[1] = [0.3, 0.0]
+        d[2] = [0.0, -0.2]
+        poly1 = p1[:, None, :] + fp[None]
+        poly2 = (p1 + d)[:, None, :] + fp[None]
+        hull_f, n_f = fp_ops.swept_hull_translates(
+            jnp.asarray(poly1), jnp.asarray(poly2), jnp.asarray(fp), jnp.asarray(d)
+        )
+        pts = np.concatenate([poly1, poly2], axis=1)
+        hull_g, n_g = convex_hull_batch(
+            jnp.asarray(pts), jnp.full((B,), 8, jnp.int32)
+        )
+        hull_f, n_f = np.asarray(hull_f), np.asarray(n_f)
+        hull_g, n_g = np.asarray(hull_g), np.asarray(n_g)
+        probe = rng.uniform(-2, 2, (B, 200, 2)).astype(np.float32)
+        for b in range(B):
+            # identical enclosed area (duplicates contribute nothing)
+            a_f = float(geometry.polygon_area(jnp.asarray(hull_f[b]), int(n_f[b])))
+            a_g = float(geometry.polygon_area(jnp.asarray(hull_g[b]), int(n_g[b])))
+            assert a_f == pytest.approx(a_g, rel=1e-5, abs=1e-7), b
+            # identical membership on probe points (off-boundary)
+            in_f = np.asarray(
+                geometry.polygon_contains(
+                    jnp.asarray(hull_f[b]), int(n_f[b]), jnp.asarray(probe[b])
+                )
+            )
+            in_g = np.asarray(
+                geometry.polygon_contains(
+                    jnp.asarray(hull_g[b]), int(n_g[b]), jnp.asarray(probe[b])
+                )
+            )
+            np.testing.assert_array_equal(in_f, in_g, err_msg=f"hull {b}")
+
+    def test_translate_paths_match_general_and_oracle(self, setup, rng):
+        m, layers, state, fresh_oracle = setup
+        fp = np.array(
+            [[0.2, 0.12], [0.2, -0.12], [-0.2, -0.12], [-0.2, 0.12]], np.float32
+        )
+        P, N = 16, 4
+        starts = np.stack(
+            [rng.uniform(-0.8, 0.8, P), rng.uniform(-1.2, 1.2, P)], axis=-1
+        )
+        steps = rng.uniform(-0.2, 0.2, size=(P, N - 1, 2))
+        poses2 = np.concatenate(
+            [starts[:, None, :], starts[:, None, :] + np.cumsum(steps, axis=1)], axis=1
+        )
+        pos3 = np.concatenate([poses2, np.zeros((P, N, 1))], axis=-1).astype(np.float32)
+        quats = np.zeros((P, N, 4), np.float32)
+        quats[..., 3] = 1.0  # identity orientation everywhere
+        n_poses = rng.integers(1, N + 1, size=P).astype(np.int32)
+        assert fp_ops.is_convex_polygon(fp)
+
+        window = fp_ops.polygon_window_cells(
+            fp, 0.35, m.resolution, False, identity_orientation=True
+        )
+        fast = fp_ops.check_polygonal_paths(
+            state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+            jnp.asarray(fp), window, False, translate_only=True,
+        )
+        slow = fp_ops.check_polygonal_paths(
+            state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+            jnp.asarray(fp), window, False, translate_only=False,
+        )
+        np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+        np.testing.assert_allclose(np.asarray(fast[1]), np.asarray(slow[1]), atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(fast[2]), np.asarray(slow[2]), rtol=1e-5, atol=1e-6
+        )
+
+        safe, trav, area = (np.asarray(a) for a in fast)
+        for p in range(P):
+            om = fresh_oracle()
+            r = om.check_polygonal_footprint_path(
+                pos3[p, : n_poses[p]], quats[p, : n_poses[p]], fp, conservative=False
+            )
+            assert safe[p] == r.is_safe, f"path {p}"
+            if r.is_safe:
+                assert trav[p] == pytest.approx(r.traversability, abs=1e-4)
+                assert area[p] == pytest.approx(r.area, rel=1e-3, abs=1e-4)
+
+
+class TestGroupedPaths:
+    """check_polygonal_paths_grouped (one window per path) vs the per-segment
+    evaluator: exact verdict parity, matching scores/areas — rotated and
+    identity orientations, conservative mode, ragged pose counts."""
+
+    def _run(self, setup, rng, identity, conservative):
+        m, layers, state, fresh_oracle = setup
+        fp = np.array(
+            [[0.2, 0.12], [0.2, -0.12], [-0.2, -0.12], [-0.2, 0.12]], np.float32
+        )
+        P, N = 24, 5
+        starts = np.stack(
+            [rng.uniform(-0.9, 0.9, P), rng.uniform(-1.3, 1.3, P)], axis=-1
+        )
+        steps = rng.uniform(-0.2, 0.2, size=(P, N - 1, 2))
+        poses2 = np.concatenate(
+            [starts[:, None, :], starts[:, None, :] + np.cumsum(steps, axis=1)], axis=1
+        )
+        pos3 = np.concatenate([poses2, np.zeros((P, N, 1))], axis=-1).astype(np.float32)
+        quats = np.zeros((P, N, 4), np.float32)
+        if identity:
+            quats[..., 3] = 1.0
+        else:
+            yaws = rng.uniform(0, 2 * np.pi, size=(P, N))
+            quats[..., 2] = np.sin(yaws / 2)
+            quats[..., 3] = np.cos(yaws / 2)
+        n_poses = rng.integers(1, N + 1, size=P).astype(np.int32)
+        # grouped-evaluator contract: padding repeats the last valid pose
+        for p in range(P):
+            pos3[p, n_poses[p]:] = pos3[p, n_poses[p] - 1]
+            quats[p, n_poses[p]:] = quats[p, n_poses[p] - 1]
+
+        translate_only = identity and not conservative
+        ext = pos3[..., :2].max(axis=1) - pos3[..., :2].min(axis=1)
+        gw = fp_ops.path_group_window(fp, ext, m.resolution, identity)
+        grouped = fp_ops.check_polygonal_paths_grouped(
+            state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+            jnp.asarray(fp), gw, conservative, translate_only,
+        )
+        window = fp_ops.polygon_window_cells(
+            fp, 0.35, m.resolution, conservative, identity_orientation=identity
+        )
+        seg = fp_ops.check_polygonal_paths(
+            state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+            jnp.asarray(fp), window, conservative, translate_only,
+        )
+        np.testing.assert_array_equal(np.asarray(grouped[0]), np.asarray(seg[0]))
+        np.testing.assert_allclose(
+            np.asarray(grouped[1]), np.asarray(seg[1]), atol=3e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped[2]), np.asarray(seg[2]), rtol=1e-5, atol=1e-6
+        )
+        assert np.asarray(grouped[0]).sum() > 0
+        assert (~np.asarray(grouped[0])).sum() > 0
+
+    def test_identity(self, setup, rng):
+        self._run(setup, rng, identity=True, conservative=False)
+
+    def test_identity_conservative(self, setup, rng):
+        self._run(setup, rng, identity=True, conservative=True)
+
+    def test_rotated(self, setup, rng):
+        self._run(setup, rng, identity=False, conservative=False)
+
+    def test_rotated_conservative(self, setup, rng):
+        self._run(setup, rng, identity=False, conservative=True)

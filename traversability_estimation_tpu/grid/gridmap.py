@@ -187,6 +187,44 @@ class GridMap:
             self, position=jnp.asarray(position, dtype=jnp.float32)
         )
 
+    def recenter(self, new_position) -> "GridMap":
+        """grid_map ``move()`` analog: translate the map window to the
+        grid-aligned center nearest ``new_position``. Overlapping cells keep
+        their values at unchanged world positions; newly exposed cells are
+        NaN. Where grid_map rotates a circular-buffer start index, this is a
+        device ``roll`` + masked NaN fill per layer — O(cells) HBM traffic,
+        jit-able with a traced position, and every downstream kernel keeps
+        zero-start-index static indexing (see module docstring).
+        """
+        rows, cols = self.size
+        res = self.resolution
+        target = jnp.asarray(new_position, jnp.float32)
+        shift = jnp.round((target - self.position) / res).astype(jnp.int32)
+        snapped = self.position + shift.astype(jnp.float32) * res
+        # world point p: index_new = index_old + shift (index math above), so
+        # new[i] = old[i - shift] -> roll by +shift with out-of-range NaN
+        si, sj = shift[0], shift[1]
+        ri = jnp.arange(rows, dtype=jnp.int32)[:, None]
+        rj = jnp.arange(cols, dtype=jnp.int32)[None, :]
+        valid = (
+            (ri - si >= 0) & (ri - si < rows) & (rj - sj >= 0) & (rj - sj < cols)
+        )
+
+        def shift_layer(a):
+            rolled = jnp.roll(a, (si, sj), axis=(0, 1))
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                fill = jnp.nan  # grid_map parity: exposed cells are unknown
+            elif a.dtype == jnp.bool_:
+                # bool layers here are veto masks where unknown terrain
+                # passes (NaN != 0 comparisons, ops/veto.py) — fill True
+                fill = True
+            else:
+                fill = 0
+            return jnp.where(valid, rolled, jnp.array(fill, a.dtype))
+
+        new_layers = {k: shift_layer(v) for k, v in self.layers.items()}
+        return dataclasses.replace(self, layers=new_layers, position=snapped)
+
     # -- geometry ----------------------------------------------------------
     def cell_positions(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(rows, cols) arrays of cell-center x and y map-frame coordinates."""

@@ -33,8 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from traversability_estimation_tpu.grid.geometry import convex_hull_np
 from traversability_estimation_tpu.grid.gridmap import GridMap
+from traversability_estimation_tpu.models import untraversable
 from traversability_estimation_tpu.ops import filters as chain_ops
 from traversability_estimation_tpu.ops import footprint as fp_ops
 from traversability_estimation_tpu.ops import veto as veto_ops
@@ -172,6 +172,47 @@ class TraversabilityEstimator:
         self._elevation = jax.lax.dynamic_update_slice(
             self._elevation, jnp.asarray(clipped), (si0, sj0)
         )
+        return True
+
+    def recenter(self, new_center) -> bool:
+        """Bounded-memory roaming: translate the persistent map window to
+        the grid-aligned center nearest ``new_center`` (GridMap.recenter —
+        the grid_map circular-buffer ``move()`` analog). Overlapping cells
+        keep every computed layer unchanged (all layers are local functions
+        of elevation at fixed world positions, so rolled values stay exact);
+        freshly exposed cells are unknown (NaN / veto-pass) until a merged
+        submap covers them and ``update_with_submap`` refreshes the region.
+        """
+        if self._elevation is None:
+            return False
+        res = self.config.chain.resolution
+        target = np.asarray(new_center, np.float32)
+        shift = np.round((target - self._position) / res).astype(np.int64)
+        if shift[0] == 0 and shift[1] == 0:
+            return True
+        snapped = (self._position + shift.astype(np.float32) * res).astype(
+            np.float32
+        )
+        helper = GridMap(
+            layers={"elevation": self._elevation, **self._extra_layers},
+            resolution=res,
+            position=jnp.asarray(self._position),
+        ).recenter(snapped)
+        self._elevation = helper.layers["elevation"]
+        self._extra_layers = {
+            k: v for k, v in helper.layers.items() if k != "elevation"
+        }
+        if self._map is not None:
+            self._map = self._map.recenter(snapped)
+            self._query_state = fp_ops.QueryState(
+                traversability=self._map.layers["traversability"],
+                traversable_mask=self._map.layers["traversable_mask"],
+                position=jnp.asarray(snapped),
+                resolution=res,
+                default_traversability=self._traversability_default,
+            )
+        self._position = snapped
+        self._field_cache.clear()
         return True
 
     def update_with_submap(
@@ -365,20 +406,31 @@ class TraversabilityEstimator:
 
         for radius, ids in circular.items():
             self._run_circular(paths, results, ids, radius)
+        # group by (footprint, conservative) ONLY — ragged pose counts pad to
+        # a bucketed common N (repeat-last-pose + n_poses mask), so a planner
+        # batch with mixed path lengths compiles once, mirroring the circular
+        # path's _max_segment_cells bucketing
+        # (TraversabilityEstimation.cpp:288-292 serves arbitrary path lists)
         poly_groups: Dict[tuple, List[int]] = {}
         for i in polygonal:
             p = paths[i]
             fp = np.asarray(p.footprint, np.float32)
-            key = (
-                np.atleast_2d(np.asarray(p.poses)).shape[0],
-                fp.shape[0],
-                fp.tobytes(),
-                bool(p.conservative),
-            )
+            key = (fp.shape[0], fp.tobytes(), bool(p.conservative))
             poly_groups.setdefault(key, []).append(i)
         for ids in poly_groups.values():
             self._run_polygonal(paths, results, ids)
         return results
+
+    @staticmethod
+    def _bucket_pose_count(n: int) -> int:
+        """Pad pose counts to {1, 2, 4, 8, 16, ...} so ragged planner batches
+        hit a handful of jit cache entries instead of one per distinct N."""
+        if n <= 1:
+            return n
+        b = 2
+        while b < n:
+            b *= 2
+        return b
 
     def _run_circular(self, paths, results, ids, radius):
         offset = self.config.footprint.circular_footprint_offset
@@ -408,41 +460,48 @@ class TraversabilityEstimator:
             results[i].is_safe = bool(safe[b])
             results[i].traversability = float(trav[b])
             if paths[i].compute_untraversable_polygon and not safe[b]:
-                results[i].untraversable_polygon = self._untraversable_hull_circle(
-                    poses[b, : n_poses[b]], radius + offset
+                # reference-parity collection: failing cells the check's
+                # spiral walks actually push (TraversabilityMap.cpp:410-412)
+                results[i].untraversable_polygon = (
+                    untraversable.circular_path_untraversable_polygon(
+                        self._fail_mask_host(),
+                        self.config.chain.resolution,
+                        self._position,
+                        poses[b, : n_poses[b]],
+                        float(radius),
+                        float(offset),
+                        self._traversability_default,
+                    )
                 )
 
     def _run_polygonal(self, paths, results, ids):
-        # paths in one group share (N, footprint, conservative): one dispatch
+        # paths in one group share (footprint, conservative): one dispatch,
+        # ragged pose counts padded to a bucketed common N (repeat last pose)
         p0 = paths[ids[0]]
         fp = np.asarray(p0.footprint, np.float32)
         conservative = bool(p0.conservative)
         B = len(ids)
-        N = np.atleast_2d(np.asarray(p0.poses)).shape[0]
+        counts = [
+            np.atleast_2d(np.asarray(paths[i].poses)).shape[0] for i in ids
+        ]
+        N = self._bucket_pose_count(max(counts))
         pos3 = np.zeros((B, N, 3), np.float32)
         quats = np.zeros((B, N, 4), np.float32)
         quats[..., 3] = 1.0
+        n_poses = np.asarray(counts, np.int32)
         for b, i in enumerate(ids):
             poses = np.atleast_2d(np.asarray(paths[i].poses, dtype=np.float32))
-            pos3[b, :, : poses.shape[1]] = poses
+            n = poses.shape[0]
+            pos3[b, :n, : poses.shape[1]] = poses
+            pos3[b, n:] = pos3[b, n - 1]
             if paths[i].orientations is not None:
-                quats[b] = np.asarray(paths[i].orientations, np.float32).reshape(N, 4)
-        seg = np.linalg.norm(np.diff(pos3[..., :2], axis=1), axis=-1)
-        seg_max = float(seg.max()) if seg.size else 0.0
+                q = np.asarray(paths[i].orientations, np.float32).reshape(n, 4)
+                quats[b, :n] = q
+                quats[b, n:] = q[-1]
         identity = bool(np.all(np.abs(quats - np.asarray([0, 0, 0, 1])) < 1e-12))
-        window = fp_ops.polygon_window_cells(
-            fp, seg_max, self.config.chain.resolution, conservative,
-            identity_orientation=identity,
-        )
-        n_poses = np.full((B,), N, np.int32)
-        safe, trav, area = _polygonal_paths_jit(
-            self.query_state,
-            jnp.asarray(pos3),
-            jnp.asarray(quats),
-            jnp.asarray(n_poses),
-            jnp.asarray(fp),
-            window,
-            conservative,
+        safe, trav, area = _dispatch_polygonal(
+            self.query_state, pos3, quats, n_poses, fp,
+            self.config.chain.resolution, conservative, identity,
         )
         safe = np.asarray(safe)
         trav = np.asarray(trav)
@@ -457,9 +516,19 @@ class TraversabilityEstimator:
             results[i].traversability = float(trav[b])
             results[i].area = float(area[b])
             if paths[i].compute_untraversable_polygon and not safe[b]:
-                results[i].untraversable_polygon = self._untraversable_hull_circle(
-                    pos3[b, :, :2],
-                    float(np.max(np.linalg.norm(fp, axis=1))) + seg_max,
+                # failing cells of the first failing segment's hull
+                # (TraversabilityMap.cpp:634-642)
+                results[i].untraversable_polygon = (
+                    untraversable.polygonal_path_untraversable_polygon(
+                        self._fail_mask_host(),
+                        self.config.chain.resolution,
+                        self._position,
+                        pos3[b, : n_poses[b]],
+                        quats[b, : n_poses[b]],
+                        fp,
+                        conservative,
+                        self._traversability_default,
+                    )
                 )
 
     # fast-path array APIs for large batches (bench configs 3 & 5)
@@ -562,23 +631,12 @@ class TraversabilityEstimator:
         footprint: np.ndarray,
         conservative: bool = False,
     ):
-        poses2 = np.asarray(positions)[..., :2]
-        seg = np.linalg.norm(np.diff(poses2, axis=1), axis=-1)
-        seg_max = float(seg.max()) if seg.size else 0.0
         quats_np = np.asarray(quaternions)
         identity = bool(np.all(np.abs(quats_np - np.asarray([0, 0, 0, 1])) < 1e-12))
-        window = fp_ops.polygon_window_cells(
-            footprint, seg_max, self.config.chain.resolution, conservative,
-            identity_orientation=identity,
-        )
-        return _polygonal_paths_jit(
-            self.query_state,
-            jnp.asarray(positions, jnp.float32),
-            jnp.asarray(quaternions, jnp.float32),
-            jnp.asarray(n_poses, jnp.int32),
-            jnp.asarray(footprint, jnp.float32),
-            window,
-            bool(conservative),
+        return _dispatch_polygonal(
+            self.query_state, np.asarray(positions, np.float32), quats_np,
+            np.asarray(n_poses), np.asarray(footprint, np.float32),
+            self.config.chain.resolution, conservative, identity,
         )
 
     def _max_segment_cells(self, poses, n_poses) -> int:
@@ -592,31 +650,47 @@ class TraversabilityEstimator:
         # batches whose longest segment jitters by a cell or two
         return ((n + 7) // 8) * 8
 
-    def _untraversable_hull_circle(self, poses_xy, reach) -> Optional[np.ndarray]:
-        """Diagnostic parity for compute_untraversable_polygon: convex hull of
-        untraversable cells within `reach` of the path (host-side)."""
-        mask = ~np.asarray(self.query_state.traversable_mask)
-        if not mask.any():
-            return None
-        rows, cols = mask.shape
-        res = self.config.chain.resolution
-        half = np.array([rows, cols]) * res / 2.0
-        ii, jj = np.nonzero(mask)
-        xy = np.stack(
-            [
-                self._position[0] + half[0] - (ii + 0.5) * res,
-                self._position[1] + half[1] - (jj + 0.5) * res,
-            ],
-            axis=-1,
+    def _fail_mask_host(self) -> np.ndarray:
+        """Host copy of the dense veto-fail plane, cached per map epoch —
+        the cell set untraversable-polygon extraction reads."""
+        key = ("fail_mask_host",)
+        if key not in self._field_cache:
+            self._field_cache[key] = ~np.asarray(self.query_state.traversable_mask)
+        return self._field_cache[key]
+
+    def path_polygons(self, path: FootprintPath):
+        """Publication streams (footprints, untraversables, robot_height) of
+        one path check — the publishPolygons side channel of the reference
+        (TraversabilityMap.cpp:373-380,427-437,526-533,556-561): the
+        footprint polygon of every evaluated pose/segment and the failing-
+        cell hulls. Cold path: host-side geometry against the dense
+        veto-fail plane; the node calls this only when polygon subscribers
+        exist (the getNumSubscribers guard, :924,:934)."""
+        if not self.initialized:
+            return [], [], 0.0
+        poses = np.atleast_2d(np.asarray(path.poses, np.float64))
+        if poses.shape[0] == 0:
+            return [], [], 0.0
+        if path.footprint is None or len(path.footprint) == 0:
+            return untraversable.circular_path_polygons(
+                self._fail_mask_host(),
+                self.config.chain.resolution,
+                self._position,
+                poses,
+                float(path.radius),
+                self.config.footprint.circular_footprint_offset,
+                self._traversability_default,
+            )
+        return untraversable.polygonal_path_polygons(
+            self._fail_mask_host(),
+            self.config.chain.resolution,
+            self._position,
+            poses,
+            path.orientations,
+            np.asarray(path.footprint, np.float64),
+            bool(path.conservative),
+            self._traversability_default,
         )
-        poses_xy = np.atleast_2d(poses_xy)
-        d = np.min(
-            np.linalg.norm(xy[:, None, :] - poses_xy[None, :, :], axis=-1), axis=1
-        )
-        near = xy[d <= reach]
-        if len(near) == 0:
-            return None
-        return convex_hull_np(near)
 
     # ------------------------------------------------------------------
     # dense footprint services
@@ -916,10 +990,64 @@ def _inclination_jit(state, robot_slope, poses, n_poses, max_cells):
     return fp_ops.check_inclination_paths(state, robot_slope, poses, n_poses, max_cells)
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _polygonal_paths_jit(state, pos3, quats, n_poses, footprint, window, conservative):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _polygonal_paths_jit(
+    state, pos3, quats, n_poses, footprint, window, conservative, translate_only=False
+):
     return fp_ops.check_polygonal_paths(
-        state, pos3, quats, n_poses, footprint, window, conservative
+        state, pos3, quats, n_poses, footprint, window, conservative, translate_only
+    )
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _polygonal_paths_grouped_jit(
+    state, pos3, quats, n_poses, footprint, window, conservative, translate_only
+):
+    return fp_ops.check_polygonal_paths_grouped(
+        state, pos3, quats, n_poses, footprint, window, conservative, translate_only
+    )
+
+
+# one fetched window per path costs gwi*gwj*P floats; past this budget the
+# per-segment evaluator (windows sized to one segment) is the better trade
+_GROUPED_ELEMS_CAP = 32_000_000
+
+
+def _dispatch_polygonal(
+    query_state, pos3, quats, n_poses, fp, resolution, conservative, identity
+):
+    """Pick the grouped (per-path window) or per-segment polygonal evaluator
+    from host-visible batch statistics; returns (safe, trav, area)."""
+    convex = fp_ops.is_convex_polygon(fp)
+    translate_only = identity and not conservative and convex
+    ext = pos3[..., :2].max(axis=1) - pos3[..., :2].min(axis=1)  # (P, 2)
+    gw = fp_ops.path_group_window(fp, ext, resolution, identity)
+    B = pos3.shape[0]
+    if convex and gw[0] * gw[1] * B <= _GROUPED_ELEMS_CAP:
+        return _polygonal_paths_grouped_jit(
+            query_state,
+            jnp.asarray(pos3, jnp.float32),
+            jnp.asarray(quats, jnp.float32),
+            jnp.asarray(n_poses, jnp.int32),
+            jnp.asarray(fp, jnp.float32),
+            gw,
+            bool(conservative),
+            translate_only,
+        )
+    seg = np.linalg.norm(np.diff(pos3[..., :2], axis=1), axis=-1)
+    seg_max = float(seg.max()) if seg.size else 0.0
+    window = fp_ops.polygon_window_cells(
+        fp, seg_max, resolution, conservative, identity_orientation=identity
+    )
+    return _polygonal_paths_jit(
+        query_state,
+        jnp.asarray(pos3, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(n_poses, jnp.int32),
+        jnp.asarray(fp, jnp.float32),
+        window,
+        bool(conservative),
+        translate_only,
     )
 
 

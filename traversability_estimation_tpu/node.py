@@ -26,6 +26,7 @@ planner-in-the-loop runs).
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 import time
 from typing import Callable, List, Optional, Tuple
@@ -41,6 +42,17 @@ from traversability_estimation_tpu.models import (
 from traversability_estimation_tpu.utils.config import EstimatorConfig, load_config
 
 
+@dataclasses.dataclass(frozen=True)
+class StampedPolygon:
+    """geometry_msgs/PolygonStamped analog: 2-D vertices lifted to a constant
+    z (the reference sets every point's z to zPosition,
+    TraversabilityMap.cpp:927-929,938-940)."""
+
+    vertices: np.ndarray  # (K, 2) float64, map frame
+    z: float
+    frame_id: str = "map"
+
+
 class TraversabilityNode:
     def __init__(
         self,
@@ -48,6 +60,7 @@ class TraversabilityNode:
         source=None,
         robot_pose: Optional[Callable[[], Tuple[float, float]]] = None,
         persistent_map_length: Optional[Tuple[float, float]] = None,
+        recenter_on_robot: bool = False,
     ):
         """`source` provides robot-centric elevation submaps
         (utils/sources.py protocol: sample(center_xy, length_xy)); `robot_pose`
@@ -61,11 +74,18 @@ class TraversabilityNode:
         REPLACED each tick (setElevationMap, TraversabilityMap.cpp:135); pass
         a (len_x, len_y) here to instead maintain a large persistent world
         map that submaps merge into incrementally (our extension — BASELINE
-        config 4's online loop)."""
+        config 4's online loop).
+
+        `recenter_on_robot`: with a persistent map, keep the bounded window
+        centred on the robot each tick (GridMap.recenter — the grid_map
+        circular-buffer move() analog): memory stays constant for an
+        unbounded roam, computed layers ride along, and only newly exposed
+        terrain is refreshed."""
         self.config = config or EstimatorConfig()
         self.estimator = TraversabilityEstimator(self.config)
         self.source = source
         self.persistent_map_length = persistent_map_length
+        self.recenter_on_robot = recenter_on_robot
         if persistent_map_length is not None:
             res = self.config.resolution
             rows = int(round(persistent_map_length[0] / res))
@@ -76,6 +96,12 @@ class TraversabilityNode:
         self.robot_pose = robot_pose or (lambda: (0.0, 0.0))
         self._subscribers: List[Callable[[GridMap], None]] = []
         self._last_published: Optional[GridMap] = None
+        # footprint_polygon / untraversable_polygon topic analogs
+        # (TraversabilityMap.cpp:57-59; both latched like the map)
+        self._footprint_subscribers: List[Callable[[StampedPolygon], None]] = []
+        self._untraversable_subscribers: List[Callable[[StampedPolygon], None]] = []
+        self._last_footprint: Optional[StampedPolygon] = None
+        self._last_untraversable: Optional[StampedPolygon] = None
         self._lock = threading.Lock()
         self._timer: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -167,6 +193,67 @@ class TraversabilityNode:
         for cb in subs:
             cb(gm)
 
+    def subscribe_footprint_polygon(
+        self, callback: Callable[[StampedPolygon], None]
+    ) -> None:
+        """``footprint_polygon`` topic analog (TraversabilityMap.cpp:58,
+        latched): every checked pose/segment's footprint outline — the
+        20-gon circle or the consecutive-footprint hull."""
+        with self._lock:
+            self._footprint_subscribers.append(callback)
+            last = self._last_footprint
+        if last is not None:
+            callback(last)
+
+    def subscribe_untraversable_polygon(
+        self, callback: Callable[[StampedPolygon], None]
+    ) -> None:
+        """``untraversable_polygon`` topic analog (TraversabilityMap.cpp:59,
+        latched): hulls of the failing cells a failed check visited, for
+        paths that set compute_untraversable_polygon."""
+        with self._lock:
+            self._untraversable_subscribers.append(callback)
+            last = self._last_untraversable
+        if last is not None:
+            callback(last)
+
+    def _publish_path_polygons(self, paths: List[FootprintPath]) -> None:
+        """publishPolygons side channel of the check service
+        (TraversabilityEstimation.cpp:290 passes publishPolygons=true;
+        TraversabilityMap.cpp:923-943). Computed only when subscribers exist
+        (the reference's getNumSubscribers guard, :924,:934); untraversable
+        streams additionally require the path's
+        compute_untraversable_polygon flag (:352,:410-412)."""
+        with self._lock:
+            fp_subs = list(self._footprint_subscribers)
+            up_subs = list(self._untraversable_subscribers)
+        if not fp_subs and not up_subs:
+            return
+        frame = self.config.map_frame_id
+        for path in paths:
+            footprints, untraversables, robot_z = self.estimator.path_polygons(path)
+            # circular footprints publish at z=0 (TraversabilityMap.cpp:
+            # 373-376,427-431); polygonal multi-pose hulls at robot height
+            # (:558); polygonal single-pose at 0 (:529)
+            is_polygonal = path.footprint is not None and len(path.footprint) > 0
+            n_poses = np.atleast_2d(np.asarray(path.poses)).shape[0]
+            fp_z = robot_z if (is_polygonal and n_poses > 1) else 0.0
+            for verts in footprints:
+                msg = StampedPolygon(np.asarray(verts, np.float64), fp_z, frame)
+                with self._lock:
+                    self._last_footprint = msg
+                for cb in fp_subs:
+                    cb(msg)
+            if path.compute_untraversable_polygon:
+                for verts in untraversables:
+                    msg = StampedPolygon(
+                        np.asarray(verts, np.float64), robot_z, frame
+                    )
+                    with self._lock:
+                        self._last_untraversable = msg
+                    for cb in up_subs:
+                        cb(msg)
+
     # -- the periodic update (updateTimerCallback -> updateTraversability) ---
     def update_traversability(self) -> bool:
         """One tick: request a robot-centric submap from the source, merge,
@@ -177,6 +264,8 @@ class TraversabilityNode:
             if self.persistent_map_length is not None:
                 # extension: merge into the persistent world map, refresh
                 # only the affected region
+                if self.recenter_on_robot:
+                    self.estimator.recenter(center)
                 ok = self.estimator.update_with_submap(patch, tuple(np.asarray(pos)))
             else:
                 # reference parity: the map IS the fresh robot-centric submap
@@ -205,7 +294,11 @@ class TraversabilityNode:
         return True
 
     def check_footprint_path(self, paths) -> List[TraversabilityResult]:
-        return self.estimator.check_footprint_path(paths)
+        if isinstance(paths, FootprintPath):
+            paths = [paths]
+        results = self.estimator.check_footprint_path(paths)
+        self._publish_path_polygons(paths)
+        return results
 
     def get_traversability_map(self) -> GridMap:
         return self.estimator.traversability_map

@@ -42,7 +42,6 @@ import numpy as np
 from traversability_estimation_tpu.grid.geometry import (
     line_cells_batch,
     polygon_area,
-    polygon_contains,
     spiral_order,
 )
 from traversability_estimation_tpu.ops.hull import convex_hull_batch
@@ -531,62 +530,122 @@ def transform_footprint(
     return jnp.stack([out_x, out_y], axis=-1)
 
 
-def _window_planes(state: QueryState, anchor_idx: Array, window):
-    """Gather (traversability, veto-ok, in-map) for a (window x window) cell
-    block around each anchor index, as BLOCK gathers: one vmapped
-    dynamic_slice of a padded plane stack per anchor instead of per-element
-    jnp.take (element gathers lower to a scalar-ish path on TPU and measure
-    ~10x slower per element; the polygonal path batch is gather-bound).
+def _crossing_count(vertices: Array, n_vertices: Array, px: Array, py: Array) -> Array:
+    """Crossing-number inside test over a separable cell grid.
 
-    Anchors are clipped to window reach around the map: any anchor beyond has
-    every intended cell off-map, and so does its clipped window — verdicts
-    are unchanged. `window` is an int (square) or an (wi, wj) pair — a tight
-    rectangular window halves the gather volume for identity-orientation
-    footprints. Returns (cells (B,W2,2) as actually fetched, trav (B,W2),
-    ok (B,W2) bool, inmap (B,W2) bool).
+    Exactly equivalent to ``geometry.polygon_contains`` evaluated at every
+    (px[i], py[j]) pair, but factored for the separable structure: the
+    x-threshold comparison ``(px - xi) * denom <> rhs`` depends on (b, i, e)
+    x (b, e, j) broadcasts only — ~3 ops per cell-edge instead of ~10 (the
+    sign of denom is folded in by exact +-1 multiplies, so every comparison
+    is bit-identical to polygon_contains').
+
+    vertices: (B, M, 2); n_vertices: (B,); px: (B, wi); py: (B, wj).
+    Returns inside (B, wi, wj) bool.
+    """
+    B, M, _ = vertices.shape
+    idx = jnp.arange(M)
+    nv = jnp.asarray(n_vertices, jnp.int32)
+    jdx = jnp.where(idx[None, :] == 0, nv[:, None] - 1, idx[None, :] - 1)  # (B, M)
+    vi = vertices
+    vj = jnp.take_along_axis(vertices, jnp.broadcast_to(jdx[..., None], vi.shape), axis=1)
+    xi, yi = vi[..., 0], vi[..., 1]  # (B, M)
+    xj, yj = vj[..., 0], vj[..., 1]
+    denom = yj - yi
+    s = jnp.where(denom > 0.0, 1.0, -1.0).astype(jnp.float32)
+    valid = idx[None, :] < nv[:, None]
+
+    wi = px.shape[-1]
+    wj = py.shape[-1]
+    cnt = jnp.zeros((B, wi, wj), jnp.int32)
+    for e in range(M):
+        cond_e = ((yi[:, e : e + 1] > py) != (yj[:, e : e + 1] > py)) & valid[
+            :, e : e + 1
+        ]  # (B, wj)
+        lhs_e = (px - xi[:, e : e + 1]) * (denom[:, e : e + 1] * s[:, e : e + 1])
+        rhs_e = (
+            (xj[:, e : e + 1] - xi[:, e : e + 1]) * (py - yi[:, e : e + 1])
+        ) * s[:, e : e + 1]
+        cross_e = cond_e[:, None, :] & (lhs_e[:, :, None] < rhs_e[:, None, :])
+        cnt = cnt + cross_e.astype(jnp.int32)
+    return (cnt & 1) == 1
+
+
+_POLY_CHUNK = 8192  # vmapped dynamic_slice window fetches degrade super-
+# linearly past ~10k slices on TPU (measured 0.25 ms @ 8k vs 115 ms @ 50k);
+# larger batches stream through lax.map over chunks of this size
+
+
+def _eval_polygon_windows(
+    state: QueryState, vertices: Array, n_vertices: Array, anchor_idx: Array, window
+) -> Tuple[Array, Array, Array]:
+    """Core masked-window reduction shared by all polygon checks.
+
+    One packed plane (off-map -> +inf, vetoed -> -inf, else traversability
+    with NaN->default) is window-fetched per polygon with a vmapped
+    dynamic_slice (block fetches; element gathers measure ~10x slower), the
+    crossing-number inside mask is computed from separable cell positions,
+    and the fail/count/sum reductions fuse into the fetch.
+    Returns (fail (B,), n_cells (B,), tv_sum (B,)).
     """
     H, W = state.shape
     wi, wj = (window, window) if isinstance(window, int) else window
     half_i, half_j = wi // 2, wj // 2
     pad = max(wi, wj)
-    anchor_idx = jnp.stack(
-        [
-            jnp.clip(anchor_idx[..., 0], -half_i - 1, H + half_i),
-            jnp.clip(anchor_idx[..., 1], -half_j - 1, W + half_j),
-        ],
-        axis=-1,
+    tv_eff = jnp.where(
+        jnp.isfinite(state.traversability),
+        state.traversability,
+        state.default_traversability,
     )
-    # two planes instead of three: off-map cells carry a +inf sentinel in the
-    # traversability plane (distinguishable from NaN = unknown-but-in-map),
-    # saving a third of the gather traffic
-    trav_p = jnp.pad(state.traversability, pad, constant_values=jnp.inf)
-    ok_p = jnp.pad(
-        state.traversable_mask.astype(jnp.float32), pad, constant_values=1.0
+    packed = jnp.where(state.traversable_mask, tv_eff, -jnp.inf)
+    packed = jnp.pad(packed, pad, constant_values=jnp.inf)
+
+    p0 = _origin_offset(state)
+    res = state.resolution
+
+    def eval_chunk(vertices, n_vertices, anchor_idx):
+        # clipped start: a fully off-map anchor lands the window entirely in
+        # the +inf padding ring (pad >= wi, wj), so verdicts are unchanged
+        start_i = jnp.clip(anchor_idx[:, 0] - half_i + pad, 0, H + 2 * pad - wi)
+        start_j = jnp.clip(anchor_idx[:, 1] - half_j + pad, 0, W + 2 * pad - wj)
+
+        win = jax.vmap(
+            lambda si, sj: jax.lax.dynamic_slice(packed, (si, sj), (wi, wj))
+        )(start_i, start_j)  # (B, wi, wj)
+
+        gi = (start_i[:, None] - pad) + jnp.arange(wi, dtype=jnp.int32)
+        gj = (start_j[:, None] - pad) + jnp.arange(wj, dtype=jnp.int32)
+        px = p0[0] - (gi.astype(jnp.float32) + 0.5) * res  # (B, wi)
+        py = p0[1] - (gj.astype(jnp.float32) + 0.5) * res  # (B, wj)
+        inside = _crossing_count(vertices, n_vertices, px, py)
+
+        fail = jnp.any(inside & (win == -jnp.inf), axis=(1, 2))
+        passing = inside & jnp.isfinite(win)
+        n_cells = jnp.sum(passing, axis=(1, 2))
+        tv_sum = jnp.sum(jnp.where(passing, win, 0.0), axis=(1, 2))
+        return fail, n_cells, tv_sum
+
+    B = vertices.shape[0]
+    if B <= _POLY_CHUNK:
+        return eval_chunk(vertices, n_vertices, anchor_idx)
+    nb = -(-B // _POLY_CHUNK)
+    Bp = nb * _POLY_CHUNK
+
+    def pad_to(a):
+        reps = jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])
+        return jnp.concatenate([a, reps], axis=0)
+
+    vs = pad_to(vertices).reshape(nb, _POLY_CHUNK, *vertices.shape[1:])
+    ns = pad_to(jnp.asarray(n_vertices, jnp.int32).reshape(B)).reshape(
+        nb, _POLY_CHUNK
     )
-    stack = jnp.stack([trav_p, ok_p])  # (2, H+2p, W+2p)
-
-    start = (
-        anchor_idx - jnp.asarray([half_i, half_j], jnp.int32) + pad
-    )  # guaranteed in range by the clip above
-
-    def one(ij):
-        return jax.lax.dynamic_slice(stack, (0, ij[0], ij[1]), (2, wi, wj))
-
-    win = jax.vmap(one)(start)  # (B, 2, wi, wj)
-    B = win.shape[0]
-    win = win.reshape(B, 2, wi * wj)
-    trav = win[:, 0]
-    inmap = trav != jnp.inf
-    trav = jnp.where(inmap, trav, jnp.nan)
-
-    oi, oj = jnp.meshgrid(
-        jnp.arange(wi, dtype=jnp.int32) - half_i,
-        jnp.arange(wj, dtype=jnp.int32) - half_j,
-        indexing="ij",
+    an = pad_to(anchor_idx).reshape(nb, _POLY_CHUNK, 2)
+    fail, n_cells, tv_sum = jax.lax.map(lambda xs: eval_chunk(*xs), (vs, ns, an))
+    return (
+        fail.reshape(Bp)[:B],
+        n_cells.reshape(Bp)[:B],
+        tv_sum.reshape(Bp)[:B],
     )
-    offs = jnp.stack([oi.reshape(-1), oj.reshape(-1)], axis=-1)  # (W2, 2)
-    cells = anchor_idx[:, None, :] + offs[None, :, :]  # (B, W2, 2)
-    return cells, trav, win[:, 1] > 0.5, inmap
 
 
 def check_polygons(
@@ -597,24 +656,13 @@ def check_polygons(
     window,
 ) -> Tuple[Array, Array, Array]:
     """Batched isTraversable(polygon) (TraversabilityMap.cpp:586-645) for
-    GENERAL (possibly non-convex) polygons: full per-cell masked reduction
-    over block-gathered windows (crossing-number rasterization, grid_map
-    PolygonIterator parity). Convex batches (consecutive-footprint hulls)
-    should use ``check_convex_polygons`` — ~5x faster via row spans."""
-    B, M, _ = vertices.shape
+    arbitrary (convex or not) polygons: crossing-number rasterization
+    (grid_map PolygonIterator parity) over packed block-fetched windows."""
     anchor_idx = _index_of(state, anchors)  # (B, 2)
-    cells, trav_vals, ok_vals, inmap = _window_planes(state, anchor_idx, window)
-    cell_pos = _position_of(state, cells)
-
-    inside = jax.vmap(polygon_contains)(vertices, n_vertices, cell_pos)  # (B, W2)
-
-    active = inside & inmap
-    fail = jnp.any(active & ~ok_vals, axis=-1)
-    passing = active & ok_vals
-    tv = jnp.where(jnp.isfinite(trav_vals), trav_vals, state.default_traversability)
-    n_cells = jnp.sum(passing, axis=-1)
-    mean = jnp.sum(jnp.where(passing, tv, 0.0), axis=-1) / jnp.maximum(n_cells, 1)
-
+    fail, n_cells, tv_sum = _eval_polygon_windows(
+        state, vertices, n_vertices, anchor_idx, window
+    )
+    mean = tv_sum / jnp.maximum(n_cells, 1)
     default = jnp.float32(state.default_traversability)
     empty = (n_cells == 0) & ~fail
     ok = ~fail & jnp.where(empty, default != 0.0, True)
@@ -649,89 +697,70 @@ def polygon_prefix_planes(state: QueryState) -> Tuple[Array, Array]:
     return counts, tv_pre
 
 
-def check_convex_polygons(
-    state: QueryState,
-    vertices: Array,
-    n_vertices: Array,
-    anchors: Array,
-    window,
-) -> Tuple[Array, Array, Array]:
-    """Batched isTraversable(polygon) for CONVEX polygons (consecutive-
-    footprint hulls; TraversabilityMap.cpp:586-645).
+# The round-1 convex specialization (analytic row spans + prefix-sum lookups)
+# is superseded locally by the packed-window formulation above (the span
+# prefix gathers were 50% of the polygonal batch time; block window fetches
+# + fused reduce measure ~4x faster end to end). The span formulation lives
+# on in parallel/sharding.check_polygonal_paths_tiled, where spans are what
+# lets each device intersect the query with its own tile.
+check_convex_polygons = check_polygons
 
-    vertices: (B, M, 2) CONVEX polygon vertices (first n_vertices real);
-    anchors: (B, 2) map positions around which the static raster window is
-    centered — the window (int square or (wi, wj) pair of cells) must cover
-    the polygon. Returns (ok (B,), traversability (B,), n_cells (B,)).
 
-    TPU formulation: the crossing-number inside test runs on window cell
-    POSITIONS (affine in the window index — zero gathers), each raster row's
-    inside cells collapse to a [first, last] span (convex polygons), and the
-    per-row veto/count/score reductions become prefix-sum differences — two
-    lookups per row instead of fetching every window cell. 50k-hull batches
-    are ~4x faster than the block-gather formulation this replaces.
+def swept_hull_translates(
+    poly1: Array, poly2: Array, footprint: Array, d: Array
+) -> Tuple[Array, Array]:
+    """Convex hull of two TRANSLATED copies of one convex polygon, O(V).
+
+    For identity-orientation paths, consecutive footprints are translates of
+    the same convex polygon: hull(P u P+d) = P (+) segment[0, d] (Minkowski),
+    whose boundary is P's edges with the two bridge edges (+-d) inserted at
+    the two extreme vertices. Emitted branchlessly as a fixed 2V-vertex ring:
+    vertex k contributes its poly1 copy where the adjacent edge's outward
+    normal opposes d, its poly2 copy where it aligns, and BOTH at the two
+    straddle vertices. Duplicate vertices (the common case) are harmless for
+    crossing tests and shoelace area (zero-length edges contribute nothing).
+
+    Replaces the O(V^3) edge-matrix hull (ops/hull.py) on this path — same
+    cell sets and areas, bit-identical vertex VALUES (pure selects between
+    poly1/poly2, no arithmetic), ~30% of the polygonal batch time removed.
+    Matches grid_map Polygon::convexHull as used at TraversabilityMap.cpp:546.
+
+    poly1, poly2: (..., V, 2) translated copies; footprint: (V, 2) base
+    polygon (CONVEX in stored order — caller's responsibility, see
+    ``is_convex_polygon``); d: (..., 2) translation poly1 -> poly2.
+    Returns (hull (..., 2V, 2), n_hull (...,) = 2V).
     """
-    H, W = state.shape
-    wi, wj = (window, window) if isinstance(window, int) else window
-    half_i, half_j = wi // 2, wj // 2
-    anchor_idx = _index_of(state, anchors)  # (B, 2)
-    gi = anchor_idx[:, 0:1] + (jnp.arange(wi, dtype=jnp.int32) - half_i)  # (B, wi)
-    gj = anchor_idx[:, 1:2] + (jnp.arange(wj, dtype=jnp.int32) - half_j)  # (B, wj)
-
-    p0 = _origin_offset(state)
-    px = p0[0] - (gi.astype(jnp.float32) + 0.5) * state.resolution  # (B, wi)
-    py = p0[1] - (gj.astype(jnp.float32) + 0.5) * state.resolution  # (B, wj)
-    cell_pos = jnp.stack(
-        [
-            jnp.broadcast_to(px[:, :, None], (px.shape[0], wi, wj)),
-            jnp.broadcast_to(py[:, None, :], (py.shape[0], wi, wj)),
-        ],
-        axis=-1,
+    fp = jnp.asarray(footprint, jnp.float32)
+    V = fp.shape[0]
+    e = jnp.roll(fp, -1, axis=0) - fp  # edge k: v_k -> v_{k+1}, (V, 2)
+    # orientation: shoelace sign (+1 CCW, -1 CW), computed on device so the
+    # footprint stays a traced value
+    orient = jnp.sign(
+        jnp.sum(fp[:, 0] * jnp.roll(fp, -1, axis=0)[:, 1] - jnp.roll(fp, -1, axis=0)[:, 0] * fp[:, 1])
     )
-    inside = jax.vmap(polygon_contains)(vertices, n_vertices, cell_pos)  # (B,wi,wj)
+    orient = jnp.where(orient == 0.0, 1.0, orient)
+    # outward normal of edge k opposes d  <=>  orient * cross(e_k, d) >= 0
+    cross = e[:, 0] * d[..., None, 1] - e[:, 1] * d[..., None, 0]  # (..., V)
+    g = (cross * orient) < 0.0  # True -> poly2 copy past edge k
+    g_prev = jnp.roll(g, 1, axis=-1)  # flag of edge k-1 (entering vertex k)
 
-    # row spans: inside cells of a convex polygon are contiguous per row
-    any_row = jnp.any(inside, axis=-1)  # (B, wi)
-    j_first = jnp.argmax(inside, axis=-1).astype(jnp.int32)
-    j_last = (
-        wj - 1 - jnp.argmax(inside[..., ::-1], axis=-1).astype(jnp.int32)
-    )
-    # global column range [g0, g1) clamped to the map (inmap semantics)
-    g0 = jnp.clip(gj[:, 0:1] + j_first, 0, W)
-    g1 = jnp.clip(gj[:, 0:1] + j_last + 1, 0, W)
-    row_ok = any_row & (gi >= 0) & (gi < H) & (g1 > g0)
-    row = jnp.clip(gi, 0, H - 1)
+    sel_in = jnp.where(g_prev[..., None], poly2, poly1)  # (..., V, 2)
+    sel_out = jnp.where(g[..., None], poly2, poly1)
+    hull = jnp.stack([sel_in, sel_out], axis=-2)  # (..., V, 2, 2)
+    hull = hull.reshape(*poly1.shape[:-2], 2 * V, 2)
+    n_hull = jnp.full(poly1.shape[:-2], 2 * V, jnp.int32)
+    return hull, n_hull
 
-    counts_p, tv_p = polygon_prefix_planes(state)
-    Wp = W + 1
-    lin0 = row * Wp + jnp.where(row_ok, g0, 0)
-    lin1 = row * Wp + jnp.where(row_ok, g1, 0)
-    # one 2-wide gather per span end instead of two element gathers: the
-    # int32 counts prefix rides bit-exactly in a f32 lane via bitcast (the
-    # lookup cost is per-INDEX, so halving the index count halves the cost)
-    combo = jnp.stack(
-        [jax.lax.bitcast_convert_type(counts_p, jnp.float32), tv_p], axis=-1
-    ).reshape(-1, 2)
-    v0 = jnp.take(combo, lin0, axis=0)  # (B, wi, 2)
-    v1 = jnp.take(combo, lin1, axis=0)
-    c0 = jax.lax.bitcast_convert_type(v0[..., 0], jnp.int32)
-    c1 = jax.lax.bitcast_convert_type(v1[..., 0], jnp.int32)
-    t0 = v0[..., 1]
-    t1 = v1[..., 1]
-    dc = jnp.where(row_ok, c1 - c0, 0)
-    fail_cnt = dc // 65536
-    pass_cnt = dc - fail_cnt * 65536
-    tv_sum = jnp.where(row_ok, t1 - t0, 0.0)
 
-    fail = jnp.sum(fail_cnt, axis=-1) > 0
-    n_cells = jnp.sum(pass_cnt, axis=-1)
-    mean = jnp.sum(tv_sum, axis=-1) / jnp.maximum(n_cells, 1)
-
-    default = jnp.float32(state.default_traversability)
-    empty = (n_cells == 0) & ~fail
-    ok = ~fail & jnp.where(empty, default != 0.0, True)
-    trav = jnp.where(fail, 0.0, jnp.where(empty, default, mean))
-    return ok, trav, n_cells
+def is_convex_polygon(footprint: np.ndarray) -> bool:
+    """Host-side: is the polygon convex in its stored vertex order
+    (collinear vertices allowed)? Gates the swept-hull translate fast path."""
+    fp = np.asarray(footprint, np.float64)
+    if len(fp) < 3:
+        return False
+    e = np.roll(fp, -1, axis=0) - fp
+    cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    return bool(np.all(cross >= 0.0) or np.all(cross <= 0.0))
 
 
 def check_polygonal_paths(
@@ -742,11 +771,16 @@ def check_polygonal_paths(
     footprint: Array,
     window: int,
     conservative: bool = False,
+    translate_only: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Batched checkPolygonalFootprintPath (TraversabilityMap.cpp:464-584).
 
     positions: (P, N, 3); quaternions: (P, N, 4) xyzw; footprint: (V, 2) in
     the base frame; `window` must cover hulls of consecutive footprints.
+    `translate_only` (static): pass True only when every quaternion is
+    identity AND the footprint is convex in stored order (host-checked via
+    ``is_convex_polygon``) — consecutive-footprint hulls then skip the
+    O(V^3) device hull for the O(V) swept-hull emission.
     Returns (is_safe (P,), traversability (P,), area (P,)).
     """
     positions = jnp.asarray(positions, jnp.float32)
@@ -782,11 +816,17 @@ def check_polygonal_paths(
         poly1 = prev
         poly2 = cur
     Mv = poly1.shape[2]
-    points = jnp.concatenate([poly1, poly2], axis=2)  # (P, N-1, 2Mv, 2)
 
-    flat_pts = points.reshape(P * (N - 1), 2 * Mv, 2)
-    n_valid = jnp.full((P * (N - 1),), 2 * Mv, jnp.int32)
-    hulls, n_hull = convex_hull_batch(flat_pts, n_valid)
+    if translate_only and not conservative:
+        d2 = positions[:, 1:, :2] - positions[:, :-1, :2]  # (P, N-1, 2)
+        hulls, n_hull = swept_hull_translates(prev, cur, footprint, d2)
+        hulls = hulls.reshape(P * (N - 1), 2 * V, 2)
+        n_hull = n_hull.reshape(P * (N - 1))
+    else:
+        points = jnp.concatenate([poly1, poly2], axis=2)  # (P, N-1, 2Mv, 2)
+        flat_pts = points.reshape(P * (N - 1), 2 * Mv, 2)
+        n_valid = jnp.full((P * (N - 1),), 2 * Mv, jnp.int32)
+        hulls, n_hull = convex_hull_batch(flat_pts, n_valid)
     Mh = hulls.shape[1]
 
     mids = 0.5 * (positions[:, 1:, :2] + positions[:, :-1, :2]).reshape(
@@ -819,6 +859,270 @@ def check_polygonal_paths(
         total_area != 0.0, total_area, 1.0
     )
 
+    is_single = n_poses == 1
+    safe = jnp.where(is_single, ok1, multi_ok) & (n_poses >= 1)
+    trav = jnp.where(is_single, jnp.where(ok1, trav1, 0.0), trav_multi)
+    area = jnp.where(is_single, jnp.where(ok1, area1, 0.0), total_area)
+    trav = jnp.where(safe, trav, 0.0)
+    area = jnp.where(safe | is_single, area, 0.0)
+    return safe, trav, area
+
+
+_SEG_BLOCK = 8  # segments evaluated per scan step in the grouped evaluator:
+# amortizes both the scan-step overhead (~80 us/step measured) and the
+# window re-read across 8 hulls
+
+
+def path_group_window(
+    footprint: np.ndarray,
+    pose_extents: np.ndarray,
+    resolution: float,
+    identity_orientation: bool = False,
+) -> Tuple[int, int]:
+    """Static PER-PATH raster window for ``check_polygonal_paths_grouped``:
+    covers every consecutive-footprint hull of every path in the batch
+    (pose-bbox half extent + footprint reach), bucketed to multiples of 4.
+
+    The conservative sweep needs no extra margin: its extra vertices are the
+    footprint placed at the neighboring pose (TraversabilityMap.cpp:510-520),
+    which the pose bbox already covers.
+
+    pose_extents: (P, 2) per-path (max - min) over the path's VALID poses.
+    """
+    fp = np.asarray(footprint, np.float64)
+    ext = np.asarray(pose_extents, np.float64).reshape(-1, 2)
+    ex = float(ext[:, 0].max()) / 2 if ext.size else 0.0
+    ey = float(ext[:, 1].max()) / 2 if ext.size else 0.0
+
+    def cells(reach):
+        c = 2 * int(math.ceil(reach / resolution)) + 3
+        return ((c + 3) // 4) * 4
+
+    if identity_orientation:
+        return (
+            cells(ex + float(np.abs(fp[:, 0]).max())),
+            cells(ey + float(np.abs(fp[:, 1]).max())),
+        )
+    r = float(np.max(np.linalg.norm(fp, axis=1)))
+    return (cells(ex + r), cells(ey + r))
+
+
+def check_polygonal_paths_grouped(
+    state: QueryState,
+    positions: Array,
+    quaternions: Array,
+    n_poses: Array,
+    footprint: Array,
+    window: Tuple[int, int],
+    conservative: bool = False,
+    translate_only: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """checkPolygonalFootprintPath (TraversabilityMap.cpp:464-584), grouped
+    per PATH — the fast formulation for planner batches with short segments.
+
+    The per-segment evaluator fetches one raster window per segment; since a
+    path's consecutive hulls overlap almost entirely, this evaluator fetches
+    ONE window per path (pose bbox + footprint reach — 30-40x less gather
+    volume on typical planner batches, and gathers are the measured
+    bottleneck: ~2.9 ns per gathered element on v5e regardless of width) and
+    streams segments through it in blocks of 8:
+
+    - per (edge, window column): binary-search the exact row where the
+      crossing-number comparison flips (px is affine in the row index, so
+      every probe recomputes the exact grid coordinate — every comparison is
+      bit-identical to ``geometry.polygon_contains``'s);
+    - convex hulls straddle each horizontal line with exactly 0 or 2 edges,
+      so the inside run per column is [min, max) of the flip rows — 2 integer
+      compares per cell instead of an 8-edge crossing test;
+    - fail/count/sum reduce against the path window in the same fused pass.
+
+    Verified bit-identical verdicts + cell counts vs ``check_polygons`` on
+    50k-segment batches (tests/test_footprint.py::TestGroupedPaths).
+
+    REQUIREMENTS (caller-checked, see models/estimator.py):
+    - footprint CONVEX in stored order (``is_convex_polygon``) — the span
+      rule and the single-pose branch assume convex rings;
+    - `window` from ``path_group_window`` (covers every path's pose bbox);
+    - padded poses beyond n_poses[p] repeat the last valid pose.
+
+    Returns (is_safe (P,), traversability (P,), area (P,)).
+    """
+    positions = jnp.asarray(positions, jnp.float32)
+    quaternions = jnp.asarray(quaternions, jnp.float32)
+    footprint = jnp.asarray(footprint, jnp.float32)
+    P, N, _ = positions.shape
+    V = footprint.shape[0]
+    n_poses = jnp.asarray(n_poses, jnp.int32)
+    H, W = state.shape
+    res = state.resolution
+    gwi, gwj = window
+    ghalf_i, ghalf_j = gwi // 2, gwj // 2
+    gpad = max(gwi, gwj)
+    n_bits = max(1, math.ceil(math.log2(gwi + 1)))
+    default = jnp.float32(state.default_traversability)
+
+    polys = transform_footprint(footprint, positions, quaternions)  # (P,N,V,2)
+
+    # --- one packed window per path ------------------------------------
+    tv_eff = jnp.where(
+        jnp.isfinite(state.traversability),
+        state.traversability,
+        state.default_traversability,
+    )
+    gpacked = jnp.pad(
+        jnp.where(state.traversable_mask, tv_eff, -jnp.inf),
+        gpad,
+        constant_values=jnp.inf,
+    )
+    anchors = 0.5 * (
+        jnp.max(positions[..., :2], axis=1) + jnp.min(positions[..., :2], axis=1)
+    )
+    aidx = _index_of(state, anchors)
+    start_i = jnp.clip(aidx[:, 0] - ghalf_i + gpad, 0, H + 2 * gpad - gwi)
+    start_j = jnp.clip(aidx[:, 1] - ghalf_j + gpad, 0, W + 2 * gpad - gwj)
+    win = jax.vmap(
+        lambda si, sj: jax.lax.dynamic_slice(gpacked, (si, sj), (gwi, gwj)),
+        out_axes=2,
+    )(start_i, start_j)  # (gwi, gwj, P), batch minor for full-lane layouts
+    # materialize: without the barrier XLA fuses the gather into the segment
+    # scan body and re-fetches the window EVERY step (measured 40x slower)
+    win = jax.lax.optimization_barrier(win)
+    gi0 = (start_i - gpad).astype(jnp.float32)  # (P,)
+    gjT = (start_j[None, :] - gpad) + jnp.arange(gwj, dtype=jnp.int32)[:, None]
+    p0 = _origin_offset(state)
+    pyT = p0[1] - (gjT.astype(jnp.float32) + 0.5) * res  # (gwj, P)
+    irow = jnp.arange(gwi, dtype=jnp.int32)[:, None, None, None]
+    neg = win == -jnp.inf
+    fin = jnp.isfinite(win)
+    winz = jnp.where(fin, win, 0.0)
+
+    def px_at(i_f32):  # float row index (within window) -> exact grid px
+        return p0[0] - ((gi0 + i_f32).astype(jnp.float32) + 0.5) * res
+
+    def seg_block(h_blk):
+        """(fail, n, sum) for a block of convex rings per path.
+
+        h_blk: (P, SB, Mb, 2) — vertex rings closed by wrap at Mb; padding
+        must duplicate real vertices (zero-length edges never straddle a
+        horizontal line, so they contribute nothing).
+        Returns three (SB, P) arrays.
+        """
+        SB, Mb = h_blk.shape[1], h_blk.shape[2]
+        E = SB * Mb
+        hb = h_blk.reshape(P, E, 2)
+        base = (jnp.arange(E) // Mb) * Mb
+        off = jnp.arange(E) % Mb
+        jdx_full = base + jnp.where(off == 0, Mb - 1, off - 1)
+        vi = hb
+        vj = hb[:, jdx_full, :]
+        xiT, yiT = vi[..., 0].T, vi[..., 1].T  # (E, P)
+        xjT, yjT = vj[..., 0].T, vj[..., 1].T
+        denom = yjT - yiT
+        s = jnp.where(denom > 0.0, 1.0, -1.0)
+        d_abs = denom * s
+        cond = (yiT[:, None, :] > pyT[None, :, :]) != (
+            yjT[:, None, :] > pyT[None, :, :]
+        )  # (E, gwj, P)
+        rhs = ((xjT - xiT)[:, None, :] * (pyT[None, :, :] - yiT[:, None, :])) * s[
+            :, None, :
+        ]
+        lo = jnp.zeros((E, gwj, P), jnp.int32)
+        hi = jnp.full((E, gwj, P), gwi, jnp.int32)
+        for _ in range(n_bits):
+            mid = (lo + hi) // 2
+            pxm = px_at(mid.astype(jnp.float32))
+            comp = (pxm - xiT[:, None, :]) * d_abs[:, None, :] < rhs
+            lo = jnp.where(comp, lo, mid + 1)
+            hi = jnp.where(comp, mid, hi)
+        big = jnp.int32(gwi + 1)
+        ne = lo.reshape(SB, Mb, gwj, P)
+        conds = cond.reshape(SB, Mb, gwj, P)
+        lo_i = jnp.min(jnp.where(conds, ne, big), axis=1)  # (SB, gwj, P)
+        hi_i = jnp.max(jnp.where(conds, ne, -1), axis=1)
+        inside = (irow >= lo_i[None]) & (irow < hi_i[None])  # (gwi,SB,gwj,P)
+        fail = jnp.any(inside & neg[:, None], axis=(0, 2))
+        n = jnp.sum(inside & fin[:, None], axis=(0, 2))
+        sm = jnp.sum(jnp.where(inside, winz[:, None], 0.0), axis=(0, 2))
+        return fail, n, sm
+
+    def block_verdict(fail, n, sm):
+        ok = ~fail & jnp.where((n == 0) & ~fail, default != 0.0, True)
+        trav = jnp.where(
+            fail, 0.0, jnp.where(n == 0, default, sm / jnp.maximum(n, 1))
+        )
+        return ok, trav
+
+    # --- single-pose: the (convex) footprint polygon at pose 0 ----------
+    h0 = jnp.broadcast_to(polys[:, 0:1], (P, _SEG_BLOCK, V, 2))
+    f0, n0, s0 = seg_block(h0)
+    ok1, trav1 = block_verdict(f0[0], n0[0], s0[0])
+    area1 = jax.vmap(polygon_area, in_axes=(0, None))(polys[:, 0], V)
+
+    if N == 1:
+        safe = ok1 & (n_poses >= 1)
+        return safe, jnp.where(ok1, trav1, 0.0), jnp.where(ok1, area1, 0.0)
+
+    # --- consecutive-pose hulls -----------------------------------------
+    S = N - 1
+    prev = polys[:, :-1]
+    cur = polys[:, 1:]
+    if conservative:
+        d = (positions[:, 1:, :2] - positions[:, :-1, :2])[:, :, None, :]
+        poly1 = jnp.concatenate([prev, cur - d], axis=2)
+        poly2 = jnp.concatenate([cur, prev + d], axis=2)
+    else:
+        poly1 = prev
+        poly2 = cur
+    Mv = poly1.shape[2]
+    if translate_only and not conservative:
+        d2 = positions[:, 1:, :2] - positions[:, :-1, :2]
+        hseg, _ = swept_hull_translates(prev, cur, footprint, d2)  # (P,S,2V,2)
+    else:
+        points = jnp.concatenate([poly1, poly2], axis=2)
+        hulls, _n_hull = convex_hull_batch(
+            points.reshape(P * S, 2 * Mv, 2),
+            jnp.full((P * S,), 2 * Mv, jnp.int32),
+        )
+        # padding repeats the first hull vertex: full-M wrap then closes the
+        # ring with one real edge + zero-length no-ops, so n_hull is not
+        # needed downstream
+        hseg = hulls.reshape(P, S, 2 * Mv, 2)
+    Mh = hseg.shape[2]
+
+    Sp = -(-S // _SEG_BLOCK) * _SEG_BLOCK
+    hpad = hseg
+    if Sp > S:
+        hpad = jnp.concatenate(
+            [hseg, jnp.broadcast_to(hseg[:, -1:], (P, Sp - S, Mh, 2))], axis=1
+        )
+    blocks = jnp.moveaxis(
+        hpad.reshape(P, Sp // _SEG_BLOCK, _SEG_BLOCK, Mh, 2), 1, 0
+    )
+    _, (fail, n, sm) = jax.lax.scan(
+        lambda c, hb: (c, seg_block(hb)), 0, blocks
+    )
+    fail = fail.reshape(Sp, P)[:S].T  # (P, S)
+    n = n.reshape(Sp, P)[:S].T
+    sm = sm.reshape(Sp, P)[:S].T
+    seg_ok, seg_trav = block_verdict(fail, n, sm)
+
+    hull_area = jax.vmap(polygon_area, in_axes=(0, None))(
+        hseg.reshape(P * S, Mh, 2), Mh
+    ).reshape(P, S)
+    poly1_area = jax.vmap(polygon_area, in_axes=(0, None))(
+        poly1.reshape(P * S, Mv, 2), Mv
+    ).reshape(P, S)
+
+    seg_valid = jnp.arange(1, N)[None, :] < n_poses[:, None]
+    multi_ok = jnp.all(seg_ok | ~seg_valid, axis=-1)
+    first_w = hull_area[:, 0]
+    later_w = hull_area[:, 1:] - poly1_area[:, 1:]
+    weights = jnp.concatenate([first_w[:, None], later_w], axis=1)
+    weights = jnp.where(seg_valid, weights, 0.0)
+    total_area = jnp.sum(weights, axis=-1)
+    trav_multi = jnp.sum(weights * seg_trav, axis=-1) / jnp.where(
+        total_area != 0.0, total_area, 1.0
+    )
     is_single = n_poses == 1
     safe = jnp.where(is_single, ok1, multi_ok) & (n_poses >= 1)
     trav = jnp.where(is_single, jnp.where(ok1, trav1, 0.0), trav_multi)
@@ -890,12 +1194,17 @@ def polygon_window_cells(
     Returns a square int sized by the footprint circumradius; with
     `identity_orientation` (no pose rotates the footprint) a tight (wi, wj)
     rectangle from the per-axis extents instead — ~2x less gather volume for
-    the shipped 0.9 x 0.6 m footprint."""
+    the shipped 0.9 x 0.6 m footprint.
+
+    Cell counts are bucketed up to multiples of 4: the window is a static jit
+    shape, so bucketing bounds the number of recompiles across batches whose
+    longest segment jitters (a larger window never changes results)."""
     fp = np.asarray(footprint, np.float64)
     grow = (1.5 if conservative else 0.5) * max_segment_length
 
     def cells(reach):
-        return 2 * int(math.ceil(reach / resolution)) + 3
+        c = 2 * int(math.ceil(reach / resolution)) + 3
+        return ((c + 3) // 4) * 4
 
     if identity_orientation:
         return (

@@ -52,10 +52,15 @@ def hull_edge_matrix(points: Array, valid: Array) -> Array:
     # test lets that last bit flip edge classifications inconsistently —
     # observed as corrupted successor walks (no valid cycle) under shard_map.
     # The band scales with |j-i||k-i| (the cross product's magnitude scale):
-    # points within ~1e-4 rad of an edge count as collinear, orders of
-    # magnitude above f32 noise yet thinner than any real map feature.
+    # points within ~3e-6 rad of an edge count as collinear — ~25x above f32
+    # rounding noise (~1.2e-7 relative) yet narrow enough that genuinely
+    # distinct geometry is never merged. (The round-1 band of 1e-4 was wide
+    # enough to swallow real features: a path segment deviating ~1e-4 rad
+    # from a footprint edge direction produced a corrupted successor walk and
+    # a hull LARGER than the true one — caught by
+    # tests/test_footprint.py::TestSweptHullTranslates.)
     k_len2 = kx * kx + ky * ky
-    eps = 1e-4 * jnp.sqrt(len2 * k_len2) + 1e-30
+    eps = 3e-6 * jnp.sqrt(len2 * k_len2) + 1e-30
     left = cross > eps
     # near-collinear k allowed only when between i and j (inclusive, with the
     # same tolerance along the edge)

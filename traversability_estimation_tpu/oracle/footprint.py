@@ -32,6 +32,7 @@ from traversability_estimation_tpu.grid.geometry import (
     circle_offsets,
     convex_hull_np,
     line_cells_np,
+    polygon_from_circle,
     spiral_order,
 )
 
@@ -66,7 +67,14 @@ class OracleMap:
         max_gap_width: float = 0.3,
         traversability_default: float = 0.5,
         check_roughness: bool = False,
+        memoize: bool = True,
     ):
+        """`memoize=False` disables the reference's per-cell query memo
+        caches — the referee mode for the TPU engine's documented
+        no-stale-memoization deviation (PARITY.md item 3): every circle
+        check is computed fresh, so untraversable-polygon collection always
+        yields true failing-cell sets (never the memo-hit 20-gon fallback,
+        TraversabilityMap.cpp:673-678)."""
         self.layers = {k: np.array(v, dtype=np.float32) for k, v in layers.items()}
         shape = self.layers["elevation"].shape
         for memo in (
@@ -83,6 +91,7 @@ class OracleMap:
         self.max_gap_width = max_gap_width
         self.traversability_default = traversability_default
         self.check_roughness = check_roughness
+        self.memoize = memoize
 
     # -- geometry ---------------------------------------------------------
     def cell_position(self, idx) -> np.ndarray:
@@ -278,12 +287,22 @@ class OracleMap:
         center = np.asarray(center, dtype=np.float64)
         if not self.is_inside(center):
             t = self.traversability_default
-            return t != 0.0, t, None
+            hull = None
+            if compute_untraversable and t == 0.0:
+                # off-map failure publishes the circle outline
+                # (TraversabilityMap.cpp:662-667)
+                hull = polygon_from_circle(center, radius_max)
+            return t != 0.0, t, hull
         idx_center = self.index_at(center)
         memo = self.layers["traversability_footprint"]
-        if np.isfinite(memo[idx_center[0], idx_center[1]]):
+        if self.memoize and np.isfinite(memo[idx_center[0], idx_center[1]]):
             t = float(memo[idx_center[0], idx_center[1]])
-            return t != 0.0, t, None
+            hull = None
+            if compute_untraversable and t == 0.0:
+                # memo-hit failure publishes the circle outline instead of
+                # failing cells (TraversabilityMap.cpp:673-678,700-703)
+                hull = polygon_from_circle(center, radius_max)
+            return t != 0.0, t, hull
 
         n_cells = 0
         traversability = 0.0
@@ -403,6 +422,7 @@ class OracleMap:
             return result
 
         length_path = 0.0
+        accumulated: list = []  # untraversable hull vertices across samples
         for i in range(1, n):
             start, end = poses[i - 1], poses[i]
             start_idx = self.index_at(start)
@@ -419,10 +439,18 @@ class OracleMap:
                 seg_ok = seg_ok and ok
                 if not seg_ok and not compute_untraversable:
                     return result
+                if compute_untraversable and hull is not None and len(hull):
+                    # convexHull(accumulated, aux) per sample == hull of the
+                    # union of vertices (TraversabilityMap.cpp:410-412)
+                    accumulated.extend(np.asarray(hull))
                 trav_sum += trav
                 n_line += 1
                 k += 4  # nSkip = 3 (TraversabilityMap.cpp:401,421-425)
             if not seg_ok:
+                if accumulated:
+                    result.untraversable_polygon = convex_hull_np(
+                        np.asarray(accumulated)
+                    )
                 return result
             seg_trav = trav_sum / n_line
             seg_len = float(np.linalg.norm(end - start))
