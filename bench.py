@@ -15,6 +15,7 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -184,6 +185,25 @@ def main():
     t_update = per_iter(time.perf_counter() - t0, K_UPD)
     log(f"map update true: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
 
+    # --- speed-of-light accounting (utils/roofline.py): measured chip peaks
+    # + analytic op/byte counts -> achieved % of the roofline bound
+    from traversability_estimation_tpu.utils import roofline
+
+    vpu_flops = roofline.measure_vpu_f32_flops()
+    hbm_bw = roofline.measure_hbm_bw()
+    log(
+        f"measured peaks: VPU f32 {vpu_flops/1e12:.2f} TFLOP/s, "
+        f"HBM {hbm_bw/1e9:.0f} GB/s"
+    )
+    upd_counts = roofline.update_op_estimate(ccfg, vcfg)
+    upd_sol = roofline.sol_report(H * W, t_update, upd_counts, vpu_flops, hbm_bw)
+    log(
+        f"update SoL: {upd_counts['ops_per_cell']:.0f} ops/cell, "
+        f"{upd_counts['hbm_bytes_per_cell']:.0f} B/cell -> bound "
+        f"{max(upd_sol['t_compute_bound_s'], upd_sol['t_memory_bound_s'])*1e3:.3f} ms "
+        f"({upd_sol['binding']}-bound), achieved {upd_sol['pct_sol']:.0f}% of SoL"
+    )
+
     # BASELINE config 2: dense traversability_footprint layer (the reference
     # footprint polygon scored at EVERY cell — TraversabilityMap.cpp:239-305)
     fp_cfg = np.asarray(est.config.footprint.footprint_polygon, np.float32)
@@ -323,6 +343,47 @@ def main():
         f"-> {checks_per_sec:,.0f} pose-checks/s (safe {int(safe.sum())}/{P})"
     )
 
+    # dense circle field (the per-update precompute behind circular batches)
+    K_FLD = 32
+
+    @jax.jit
+    def field_loop(t):
+        def body(carry, _):
+            st = fp_ops.QueryState(
+                traversability=state0.traversability + 0.0 * carry,
+                traversable_mask=state0.traversable_mask,
+                position=state0.position,
+                resolution=state0.resolution,
+                default_traversability=state0.default_traversability,
+            )
+            okf, tvf = fp_ops.dense_circle_field(st, radius + offset, radius)
+            return carry + 1e-12 * tvf[0, 0], okf[0, 0]
+        c, _ = jax.lax.scan(body, t, None, length=K_FLD)
+        return c
+
+    np.asarray(field_loop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    np.asarray(field_loop(jnp.float32(0)))
+    t_field = per_iter(time.perf_counter() - t0, K_FLD)
+    fld_counts = roofline.circle_field_op_estimate(radius + offset, res)
+    # the binding floor for the exact-spiral-order field is the per-offset
+    # unaligned-shift relayout, not arithmetic (docs/DESIGN.md §7): measure
+    # it on this chip and report pct_sol against it
+    R_fld = int(math.ceil((radius + offset) / res))
+    t_shift_floor = roofline.measure_shift_floor(
+        (H, W), int(fld_counts["n_offsets"]), R_fld
+    )
+    fld_pct = 100.0 * t_shift_floor / max(t_field, 1e-12)
+    fld_sol = {"pct_sol": fld_pct}
+    log(
+        f"dense circle field: {t_field*1e3:.2f} ms "
+        f"({H*W/t_field/1e6:.0f} Mcells/s); shift-relayout floor "
+        f"{t_shift_floor*1e3:.2f} ms -> {fld_pct:.0f}% of SoL "
+        f"(arithmetic-only bound would be "
+        f"{fld_counts['ops_per_cell'] * H * W / (vpu_flops / 2) * 1e3:.2f} ms; "
+        f"the relayout, paid identically by XLA and Pallas, is the floor)"
+    )
+
     layers = {
         k: np.asarray(v)
         for k, v in est.traversability_map.layers.items()
@@ -345,6 +406,10 @@ def main():
                 "value": round(checks_per_sec, 1),
                 "unit": "checks/s",
                 "vs_baseline": round(checks_per_sec / baseline, 2),
+                "pct_sol": {
+                    "map_update": round(upd_sol["pct_sol"], 1),
+                    "dense_circle_field": round(fld_sol["pct_sol"], 1),
+                },
             }
         )
     )

@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--rate", type=float, default=10.0)
     ap.add_argument("--paths", type=int, default=256)
+    ap.add_argument(
+        "--window-m",
+        type=float,
+        default=0.0,
+        help="bounded-memory roaming: keep only a window-m wide map recentred "
+        "on the robot each tick (GridMap.recenter); 0 = persistent world map",
+    )
+    ap.add_argument("--json", default="", help="write a result JSON line here")
     args = ap.parse_args()
 
     import jax
@@ -38,9 +46,13 @@ def main():
     from traversability_estimation_tpu.utils.sources import SyntheticTerrainSource
 
     res = args.res
-    n = int(round(args.map_m / res))
-    print(f"map {n}x{n} cells ({args.map_m} m @ {res} m), devices={jax.devices()}",
-          file=sys.stderr)
+    roaming = args.window_m > 0.0
+    n = int(round((args.window_m if roaming else args.map_m) / res))
+    print(
+        f"map {n}x{n} cells ({'bounded window ' + str(args.window_m) if roaming else args.map_m} m "
+        f"@ {res} m), devices={jax.devices()}",
+        file=sys.stderr,
+    )
 
     est = TraversabilityEstimator(EstimatorConfig(resolution=res))
     est.set_elevation_map(np.full((n, n), np.nan, np.float32))
@@ -64,6 +76,10 @@ def main():
         cy = args.map_m / 4 * np.sin(theta)
         patch, _ = src.sample((cx, cy), (4.0, 4.0))
         with update_lat.timed():
+            if roaming:
+                # bounded-memory roam: the fixed-size window follows the
+                # robot; overlap rolls, only new terrain is refreshed
+                est.recenter((cx, cy))
             est.update_with_submap(patch, (cx, cy))
             # force true completion (see query note below)
             np.asarray(est.traversability_map["traversability"][:1, :1])
@@ -94,6 +110,22 @@ def main():
     achieved = tick / args.seconds
     print(f"achieved rate: {achieved:.1f} Hz "
           f"({'OK' if achieved >= min(args.rate, 0.95 * args.rate) else 'UNDER TARGET'})")
+    if args.json:
+        import json
+
+        blob = {
+            "kind": "online_loop",
+            "mode": "roaming_window" if roaming else "persistent_map",
+            "map_cells": [n, n],
+            "target_hz": args.rate,
+            "achieved_hz": round(achieved, 2),
+            "ticks": tick,
+            "update_ms": update_lat.summary(),
+            "query_ms": query_lat.summary(),
+            "paths_per_tick": args.paths,
+        }
+        with open(args.json, "w") as f:
+            f.write(json.dumps(blob) + "\n")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,127 @@ import time
 import numpy as np
 
 
+def run_tiled(args, elev, res):
+    """Config 5's large-map distributed mode: the map stays SHARDED over the
+    ('x','y') mesh — halo-exchange update, per-tile dense circle field, and
+    rollout verdicts assembled by pmin/psum reductions
+    (parallel/sharding.check_circular_paths_tiled /
+    check_polygonal_paths_tiled). One chip = 1x1 mesh; --cpu-mesh 8 runs the
+    full distributed path on the virtual CPU mesh."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from traversability_estimation_tpu.ops import footprint as fp_ops
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.ops.veto import VetoConfig
+    from traversability_estimation_tpu.parallel import sharding as sh
+
+    ccfg = ChainConfig(resolution=res)
+    vcfg = VetoConfig(resolution=res, check_roughness=False)
+    mesh = sh.make_mesh()
+    gx, gy = mesh.devices.shape
+    print(f"tiled mode: mesh {gx}x{gy} ({mesh.devices.size} devices)", file=sys.stderr)
+
+    padded, orig = sh.pad_to_mesh(elev, mesh)
+    elev_dev = jax.device_put(
+        jnp.asarray(padded),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x", "y")),
+    )
+    t0 = time.time()
+    layers = sh.sharded_update(elev_dev, ccfg, vcfg, mesh, orig_shape=orig)
+    radius, offset = 0.3, 0.15
+    field = sh.sharded_circle_field(
+        layers, mesh, radius + offset, radius, res, 0.5, orig_shape=orig
+    )
+    jax.block_until_ready(field)
+    print(f"sharded update + field: {time.time()-t0:.2f}s (incl. compile)",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    P, N = args.rollouts, args.poses
+    # start at a traversable cell near the map center (field verdict plane)
+    ok_host = np.asarray(jax.device_get(field[0]))[: orig[0], : orig[1]]
+    ii, jj = np.nonzero(ok_host)
+    if len(ii) == 0:
+        print("no traversable cell on the map", file=sys.stderr)
+        return
+    ctr = np.array([orig[0] / 2, orig[1] / 2])
+    k = int(np.argmin((ii - ctr[0]) ** 2 + (jj - ctr[1]) ** 2))
+    half = np.array(orig) * res / 2.0
+    robot = np.array(
+        [half[0] - (ii[k] + 0.5) * res, half[1] - (jj[k] + 0.5) * res], np.float64
+    )
+    print(f"start at {robot}", file=sys.stderr)
+    footprint = np.array(
+        [[0.25, 0.15], [0.25, -0.15], [-0.25, -0.15], [-0.25, 0.15]], np.float32
+    )
+    window = fp_ops.polygon_window_cells(footprint, 0.3, res, False)
+    budgets = []
+    for step in range(args.steps):
+        t_step = time.time()
+        headings = rng.uniform(0, 2 * np.pi, P)
+        base = np.stack([np.cos(headings), np.sin(headings)], -1) * 0.25
+        steps_xy = base[:, None, :] + rng.uniform(-0.08, 0.08, (P, N - 1, 2))
+        poses = np.concatenate(
+            [np.broadcast_to(robot, (P, 1, 2)), robot + np.cumsum(steps_xy, 1)],
+            axis=1,
+        ).astype(np.float32)
+        n_poses = np.full((P,), N, np.int32)
+        safe, trav = sh.check_circular_paths_tiled(
+            field[0], field[1], jnp.asarray(poses), jnp.asarray(n_poses),
+            mesh, (0.0, 0.0), res, 16,
+        )
+        # polygonal verdicts for the best candidates (hull row spans against
+        # the sharded prefix planes, exact psum assembly)
+        K = min(1024, P)
+        pos3 = np.concatenate([poses[:K], np.zeros((K, N, 1), np.float32)], -1)
+        quats = np.zeros((K, N, 4), np.float32)
+        quats[..., 3] = 1.0
+        safe_p, trav_p, area_p = sh.check_polygonal_paths_tiled(
+            {
+                "traversability": layers["traversability"],
+                "traversable_mask": layers["traversable_mask"],
+            },
+            jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses[:K]),
+            tuple(map(tuple, footprint.tolist())),
+            mesh, window, False, (0.0, 0.0), res, 0.5, orig_shape=orig,
+        )
+        jax.block_until_ready((safe, trav, safe_p))
+        safe = np.asarray(safe)
+        trav = np.asarray(trav)
+        budget = time.time() - t_step
+        budgets.append(budget)
+        best = int(np.argmax(np.where(safe, trav, -1.0)))
+        print(
+            f"step {step}: {budget*1e3:7.1f} ms | circ safe {safe.sum():>6}/{P} "
+            f"| poly safe {np.asarray(safe_p).sum():>5}/{K} | best {trav[best]:.3f}",
+            file=sys.stderr,
+        )
+        if safe[best]:
+            robot = poses[best, min(3, N - 1), :].astype(np.float64)
+
+    steady = float(np.median(budgets[1:])) if len(budgets) > 1 else budgets[0]
+    print(
+        f"tiled replanning budget p50: {steady*1e3:.1f} ms -> "
+        f"{args.rollouts * args.poses / steady / 1e6:.1f}M pose-checks/s"
+    )
+    if args.json:
+        blob = {
+            "kind": "rollouts_tiled",
+            "mesh": [gx, gy],
+            "backend": jax.devices()[0].platform,
+            "map_cells": list(orig),
+            "rollouts": P,
+            "poses": N,
+            "budget_p50_ms": round(steady * 1e3, 1),
+            "pose_checks_per_s": round(P * N / steady, 1),
+        }
+        with open(args.json, "w") as f:
+            f.write(json.dumps(blob) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--map-m", type=float, default=200.0)
@@ -27,12 +148,40 @@ def main():
     ap.add_argument("--rollouts", type=int, default=100_000)
     ap.add_argument("--poses", type=int, default=12)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument(
+        "--tiled",
+        action="store_true",
+        help="large-map mode: keep the map SHARDED over the device mesh "
+        "(never replicated) and score rollouts with pmin/psum verdict "
+        "reductions (parallel/sharding.check_*_paths_tiled). On one chip the "
+        "mesh is 1x1; on the virtual 8-device CPU mesh this exercises the "
+        "full config-5 distributed path.",
+    )
+    ap.add_argument(
+        "--cpu-mesh",
+        type=int,
+        default=0,
+        help="force an n-device virtual CPU mesh (e.g. 8) for --tiled demos",
+    )
+    ap.add_argument("--json", default="", help="write a result JSON line here")
     args = ap.parse_args()
+
+    import os
+
+    if args.cpu_mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+            ).strip()
 
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache"
+                      if not args.cpu_mesh else "/root/repo/.jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from traversability_estimation_tpu.models import TraversabilityEstimator
@@ -58,6 +207,10 @@ def main():
         cx = args.map_m / 2 - (i0 + rows / 2) * res
         patch, _ = src.sample((cx, cy), (rows * res, args.map_m))
         elev[i0 : i0 + rows] = patch
+
+    if args.tiled:
+        run_tiled(args, elev, res)
+        return
     t0 = time.time()
     est.update(elev)
     print(f"initial full-map update: {time.time()-t0:.2f}s "
@@ -114,6 +267,20 @@ def main():
         f"replanning budget p50: {steady*1e3:.1f} ms -> "
         f"{args.rollouts * args.poses / steady/1e6:.1f}M pose-checks/s sustained"
     )
+    if args.json:
+        import json
+
+        blob = {
+            "kind": "rollouts",
+            "backend": jax.devices()[0].platform,
+            "map_cells": [n, n],
+            "rollouts": args.rollouts,
+            "poses": args.poses,
+            "budget_p50_ms": round(steady * 1e3, 1),
+            "pose_checks_per_s": round(args.rollouts * args.poses / steady, 1),
+        }
+        with open(args.json, "w") as f:
+            f.write(json.dumps(blob) + "\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,238 @@
+"""Scaling-efficiency harness: per-device throughput at mesh sizes 1/2/4/8.
+
+The north star asks for "solves/s scaling measured at 1 chip, 1 host,
+N hosts (>=80% to 2 hosts)". Real multi-chip hardware is not attached in
+this environment, so this harness is written to run unchanged on BOTH:
+
+- the virtual CPU mesh (default here: JAX_PLATFORMS=cpu +
+  ``--xla_force_host_platform_device_count=8``) — validates the plumbing
+  and emits the report format; CPU "efficiency" numbers are NOT predictive
+  of ICI behavior (fake devices share one socket's FLOPs), so the report
+  marks the backend;
+- a real TPU slice (run as-is on the pod: ``python scripts/scaling_bench.py
+  --sizes 1 2 4 8``) — produces the actual scaling table the moment chips
+  are present.
+
+Workloads measured per mesh size n (weak scaling for the update — fixed
+per-device tile, the large-map regime; fixed total batch for queries):
+
+1. ``sharded_update``: full chain + veto with ppermute halo exchange,
+   per-device tile ``--tile`` (default 256x256), global map grows with n.
+   efficiency(n) = cells/s/device(n) / cells/s/device(1).
+2. ``check_circular_paths_tiled``: pose batch against the TILED dense
+   field (map never replicated), pmin/psum verdict reduction over the mesh.
+
+Timing uses the chained-``lax.scan`` slope methodology (see bench.py): two
+scan lengths, (t2 - t1) / (K2 - K1) — transport RTT and dispatch cancel.
+
+Output: one JSON line per mesh size + a summary line, e.g.
+  {"kind": "scaling_update", "mesh": 4, "cells_per_s": ..., "efficiency": ...}
+
+Usage:
+  python scripts/scaling_bench.py                  # 8 virtual CPU devices
+  python scripts/scaling_bench.py --backend tpu    # real chips (on a pod)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _timed_slope(make_loop, arg, k1: int, k2: int) -> float:
+    """Seconds per iteration from the two-point scan-length slope."""
+    import numpy as np
+
+    f1, f2 = make_loop(k1), make_loop(k2)
+    np.asarray(f1(arg))
+    np.asarray(f2(arg))  # compile both
+    t1s, t2s = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f1(arg))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(arg))
+        t2s.append(time.perf_counter() - t0)
+    return max(min(t2s) - min(t1s), 1e-9) / (k2 - k1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--tile", type=int, default=256, help="per-device tile edge")
+    ap.add_argument("--paths", type=int, default=256)
+    ap.add_argument("--poses", type=int, default=8)
+    ap.add_argument(
+        "--backend",
+        default="cpu",
+        choices=["cpu", "tpu"],
+        help="cpu = 8 virtual devices (plumbing validation); tpu = real chips",
+    )
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=12)
+    args = ap.parse_args()
+
+    if args.backend == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={max(args.sizes)}"
+            ).strip()
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.ops.veto import VetoConfig
+    from traversability_estimation_tpu.parallel import sharding as sh
+
+    devices = jax.devices()
+    log(f"backend: {devices[0].platform}, {len(devices)} device(s)")
+    sizes = [n for n in args.sizes if n <= len(devices)]
+    if sizes != args.sizes:
+        log(f"trimmed mesh sizes to available devices: {sizes}")
+
+    res = 0.03
+    ccfg = ChainConfig(resolution=res)
+    vcfg = VetoConfig(resolution=res)
+    rng = np.random.default_rng(0)
+    results = []
+
+    for n in sizes:
+        mesh = sh.make_mesh(devices=devices[:n])
+        gx, gy = mesh.devices.shape
+        H, W = args.tile * gx, args.tile * gy  # weak scaling: fixed tile
+        elev = (0.05 * rng.standard_normal((H, W))).astype(np.float32)
+        elev[rng.random((H, W)) < 0.02] = np.nan
+        elev_dev = jax.device_put(
+            jnp.asarray(elev),
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("x", "y")
+            ),
+        )
+
+        def make_update_loop(k, mesh=mesh):
+            @jax.jit
+            def loop(e):
+                def body(c, _):
+                    layers = sh.sharded_update(c, ccfg, vcfg, mesh)
+                    nxt = c + 1e-12 * jnp.nan_to_num(layers["traversability"])
+                    return nxt, None
+
+                c, _ = jax.lax.scan(body, e, None, length=k)
+                return c[0, 0]
+
+            return loop
+
+        t_upd = _timed_slope(make_update_loop, elev_dev, args.k1, args.k2)
+        cells_s = H * W / t_upd
+        results.append(
+            {
+                "kind": "scaling_update",
+                "backend": devices[0].platform,
+                "mesh": n,
+                "grid": [gx, gy],
+                "map": [H, W],
+                "t_iter_ms": round(t_upd * 1e3, 3),
+                "cells_per_s": round(cells_s, 1),
+                "cells_per_s_per_device": round(cells_s / n, 1),
+            }
+        )
+        log(
+            f"update   mesh={n} ({gx}x{gy}) map {H}x{W}: "
+            f"{t_upd*1e3:.2f} ms -> {cells_s/1e6:.1f} Mcells/s"
+        )
+
+        # tiled circular path queries (fixed total batch, strong scaling)
+        layers = sh.sharded_update(elev_dev, ccfg, vcfg, mesh)
+        field = sh.sharded_circle_field(layers, mesh, 0.45, 0.3, res)
+        P, N = args.paths, args.poses
+        extent = H * res / 2 * 0.7
+        starts = np.stack(
+            [rng.uniform(-extent, extent, P), rng.uniform(-extent, extent, P)],
+            axis=-1,
+        )
+        steps = rng.uniform(-0.06, 0.06, (P, N - 1, 2))
+        poses = np.concatenate(
+            [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+        ).astype(np.float32)
+        poses_dev = jnp.asarray(poses)
+        n_poses = jnp.full((P,), N, jnp.int32)
+
+        def make_query_loop(k, mesh=mesh, field=field):
+            @jax.jit
+            def loop(p):
+                def body(c, _):
+                    safe, trav = sh.check_circular_paths_tiled(
+                        field[0], field[1], c, n_poses, mesh, (0.0, 0.0), res, 16
+                    )
+                    return c + 1e-9 * trav[:, None, None], None
+
+                c, _ = jax.lax.scan(body, p, None, length=k)
+                return c[0, 0, 0]
+
+            return loop
+
+        t_qry = _timed_slope(make_query_loop, poses_dev, args.k1, args.k2)
+        checks_s = P * N / t_qry
+        results.append(
+            {
+                "kind": "scaling_tiled_query",
+                "backend": devices[0].platform,
+                "mesh": n,
+                "t_iter_ms": round(t_qry * 1e3, 3),
+                "checks_per_s": round(checks_s, 1),
+            }
+        )
+        log(
+            f"tiled qry mesh={n}: {t_qry*1e3:.2f} ms for {P}x{N} "
+            f"-> {checks_s/1e6:.2f} M checks/s"
+        )
+
+    base = next(r for r in results if r["kind"] == "scaling_update")[
+        "cells_per_s_per_device"
+    ]
+    for r in results:
+        if r["kind"] == "scaling_update":
+            r["efficiency"] = round(r["cells_per_s_per_device"] / base, 3)
+        print(json.dumps(r))
+
+    eff2 = next(
+        (r["efficiency"] for r in results if r.get("mesh") == 2 and "efficiency" in r),
+        None,
+    )
+    summary = {
+        "kind": "scaling_summary",
+        "backend": devices[0].platform,
+        "meshes": sizes,
+        "efficiency_at_2": eff2,
+        "note": (
+            "virtual CPU mesh: validates sharding plumbing + report format; "
+            "efficiencies are not predictive of ICI"
+            if devices[0].platform == "cpu"
+            else "real-chip scaling table"
+        ),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

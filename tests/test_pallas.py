@@ -49,3 +49,39 @@ def test_fused_update_matches_xla(terrain, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(out["traversable_mask"]), np.asarray(refv["traversable_mask"])
     )
+
+
+@pytest.mark.parametrize("radius_min", [0.3, 0.0])
+def test_pallas_circle_field_matches_xla(terrain, monkeypatch, radius_min):
+    """dense_circle_field_pallas == dense_circle_field bit-exactly (both
+    radius-inflation and rmin=0 paths). Compiled-path equality is verified
+    on the real chip by bench/verify runs; interpret mode here."""
+    from traversability_estimation_tpu.ops import footprint as fp_ops
+    from traversability_estimation_tpu.ops import pallas_field as pf
+
+    res = 0.03
+    elev = terrain(100, 133, res, seed=5, nan_frac=0.04)
+    ccfg = ChainConfig(resolution=res)
+    layers = run_chain_jit(jnp.asarray(elev), ccfg)
+    veto = compute_veto_fields_jit(
+        {
+            "elevation": jnp.asarray(elev),
+            "traversability_slope": layers["traversability_slope"],
+            "traversability_step": layers["traversability_step"],
+        },
+        VetoConfig(resolution=res),
+    )
+    state = fp_ops.QueryState(
+        traversability=layers["traversability"],
+        traversable_mask=veto["traversable_mask"],
+        position=jnp.zeros(2, jnp.float32),
+        resolution=res,
+        default_traversability=0.5,
+    )
+    monkeypatch.setattr(
+        pf.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    ok_x, tv_x = fp_ops.dense_circle_field(state, 0.45, radius_min)
+    ok_p, tv_p = pf.dense_circle_field_pallas.__wrapped__(state, 0.45, radius_min)
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    np.testing.assert_array_equal(np.asarray(tv_x), np.asarray(tv_p))

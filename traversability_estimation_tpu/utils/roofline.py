@@ -1,0 +1,288 @@
+"""Speed-of-light accounting: measured chip peaks + analytic op counts.
+
+The north star asks for "kernels at speed-of-light per chip". For this
+workload the hot kernels are elementwise/stencil chains (no matmuls), so the
+relevant peaks are the VPU f32 throughput and HBM bandwidth — NOT the MXU
+bf16 number on the spec sheet. Both are MEASURED here on the attached chip
+(spec sheets don't survive contact with a tunnel transport), and the op/byte
+counts are derived analytically from the same config-driven loop structures
+the kernels compile from (ops/filters.py, ops/veto.py, ops/footprint.py).
+
+Methodology notes:
+- Every timing uses the two-point SLOPE of a data-chained ``lax.scan``
+  (t(K2) - t(K1)) / (K2 - K1): transport RTT, dispatch, and compile-cache
+  effects cancel, and chained carries stop XLA from eliding iterations.
+  (A naive add-loop here measured 1.9 TB/s "bandwidth" — the while loop was
+  unrolled and 16 adds fused into one pass. The slope of a flip/mul chain is
+  immune.)
+- XLA's ``cost_analysis()['flops']`` over-counts for this code (it reported
+  3163 flops/cell while the measured kernel ran FASTER than that count could
+  execute at peak), so op counts here are hand-derived per stage from the
+  kernel loop structure, counting one VPU op per elementwise arithmetic/
+  logical instruction (FMA = 1 op = 2 FLOPs) and ZERO for shifted-window
+  reads (in a fused stencil those are register reuse / cheap reindexing, so
+  this errs toward a HARDER speed-of-light target).
+- The HBM floor counts each kernel input read once and each output written
+  once (perfect fusion, no spills).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# measured peaks
+# ---------------------------------------------------------------------------
+
+
+def _timed_min(fn, *args, reps: int = 3) -> float:
+    np.asarray(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def measure_vpu_f32_flops(k1: int = 16, k2: int = 64) -> float:
+    """Measured f32 FMA throughput [FLOP/s]: K x 256 chained FMAs on a 16 MB
+    VMEM-friendly array, slope of two scan lengths. v5e measures ~4.1e12."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.full((2048, 2048), 0.5, jnp.float32)
+
+    def make(k):
+        @jax.jit
+        def loop(x):
+            def body(c, _):
+                for _ in range(256):
+                    c = c * 0.9999999 + 1e-7
+                return c, None
+
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return c[0, 0]
+
+        return loop
+
+    t1 = _timed_min(make(k1), a)
+    t2 = _timed_min(make(k2), a)
+    return 2.0 * a.size * 256 * (k2 - k1) / max(t2 - t1, 1e-9)
+
+
+def measure_hbm_bw(k1: int = 8, k2: int = 40) -> float:
+    """Measured HBM read+write bandwidth [B/s]: chained multiplies on a
+    256 MB array (not collapsible without float reassociation), slope of two
+    scan lengths. v5e measures ~6.7e11 (82% of the 819 GB/s spec)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = jnp.ones((8192, 8192), jnp.float32)
+
+    def make(k):
+        @jax.jit
+        def loop(x):
+            def body(c, _):
+                return c * 1.0000001, None
+
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return c[0, 0]
+
+        return loop
+
+    t1 = _timed_min(make(k1), b)
+    t2 = _timed_min(make(k2), b)
+    return 2.0 * b.size * 4 * (k2 - k1) / max(t2 - t1, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# analytic op counts (per cell) for the fused update step
+# ---------------------------------------------------------------------------
+
+
+def _n_offsets(radius: float, resolution: float) -> int:
+    from traversability_estimation_tpu.grid.geometry import circle_offsets
+
+    return len(circle_offsets(radius, resolution))
+
+
+def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
+    """Per-cell VPU-op and HBM-byte counts of the fused update step
+    (ops/filters.run_chain + ops/veto.compute_veto_fields), stage by stage.
+
+    Constants are instruction counts read off the kernel loop bodies; window
+    sizes come from the config exactly as the kernels' Python loops do.
+    """
+    res = chain_cfg.resolution
+
+    # surface_normals (filters.py:172-228): per offset ~12 arithmetic ops
+    # (centered z, 9 moment accumulations with constant dx/dy folded to FMAs,
+    # z*z); finishing: 6 covariance normalizations (~16), Jacobi 4 sweeps x 3
+    # rotations x ~30 ops + eigvec pick (~380 total)
+    n_norm = _n_offsets(chain_cfg.normals_radius, res)
+    ops_normals = 12 * n_norm + 16 + 380
+
+    # slope (filters.py:242-268): acos polynomial (8 FMAs + sqrt + selects
+    # ~14) + map to 1 - slope/critical (~4)
+    ops_slope = 18
+
+    # step_layer (filters.py:271-308): pass 1 per offset: max+min+or = 3;
+    # pass 2 per offset: ~6 (select, max, compare, add); finishing ~8
+    n_s1 = _n_offsets(chain_cfg.step_first_window_radius, res)
+    n_s2 = _n_offsets(chain_cfg.step_second_window_radius, res)
+    ops_step = 3 * n_s1 + 6 * n_s2 + 8
+
+    # roughness (filters.py:310-384): per offset ~12 (same moment pattern as
+    # normals); finishing: plane residual + sqrt + map ~30
+    n_rgh = (
+        _n_offsets(chain_cfg.roughness_estimation_radius, res)
+        if chain_cfg.compute_roughness
+        else 0
+    )
+    ops_rough = (12 * n_rgh + 30) if chain_cfg.compute_roughness else 0
+
+    # fusion + NaN handling (~8)
+    ops_fuse = 8
+
+    # veto slope/roughness counts (veto.py:57-66): per offset 2 (cast + add)
+    # + 4 finishing, window 3*res
+    n_cnt = _n_offsets(3.0 * res, res)
+    ops_veto_cnt = (2 * n_cnt + 4) * (2 if veto_cfg.check_roughness else 1)
+
+    # step veto (veto.py:87-182): 8 rays x (trigger ~6 + K walk steps x ~10
+    # bool/compare ops) + candidate window x (~6 + allowed-dir ORs ~4) +
+    # self-fallback ~8 + combine ~6
+    k_walk = int(math.ceil(veto_cfg.max_gap_width / res - 1e-9))
+    n_cand = _n_offsets(2.5 * res, res)
+    ops_step_veto = 8 * (6 + 10 * k_walk) + n_cand * 10 + 14
+
+    ops = (
+        ops_normals
+        + ops_slope
+        + ops_step
+        + ops_rough
+        + ops_fuse
+        + ops_veto_cnt
+        + ops_step_veto
+    )
+
+    # HBM floor: read elevation once; write traversability, slope, step,
+    # [roughness], and the bool veto mask once (perfect fusion)
+    n_out_f32 = 3 + (1 if chain_cfg.compute_roughness else 0)
+    bytes_per_cell = 4 + 4 * n_out_f32 + 1
+
+    return {
+        "ops_per_cell": float(ops),
+        "hbm_bytes_per_cell": float(bytes_per_cell),
+        "breakdown": {
+            "normals": ops_normals,
+            "slope": ops_slope,
+            "step": ops_step,
+            "roughness": ops_rough,
+            "fusion": ops_fuse,
+            "veto_counts": ops_veto_cnt,
+            "veto_step_walk": ops_step_veto,
+        },
+    }
+
+
+def circle_field_op_estimate(
+    radius_max: float, resolution: float
+) -> Dict[str, float]:
+    """Per-cell counts for ops/footprint.dense_circle_field: the spiral
+    window becomes shifted-plane reductions — per in-window offset ~4 ops
+    (fail OR with radius class, pass count add, traversability FMA); plus
+    ~20 finishing ops (inflation factor, means, verdict selects).
+
+    NOTE: this arithmetic bound is NOT the binding floor for this kernel —
+    unaligned dynamic shifts of an (H, W) plane cost a vector relayout,
+    ~10x the arithmetic (measured; see ``measure_shift_floor`` and
+    docs/DESIGN.md §7). pct_sol for the field is reported against the
+    relayout floor."""
+    n_window = _n_offsets(radius_max, resolution)
+    return {
+        "ops_per_cell": 4.0 * n_window + 20.0,
+        # read traversability + fail plane; write verdict + value planes
+        "hbm_bytes_per_cell": 4.0 + 1.0 + 1.0 + 4.0,
+        "n_offsets": float(n_window),
+    }
+
+
+def measure_shift_floor(
+    shape: tuple, n_offsets: int, pad: int, k1: int = 8, k2: int = 24
+) -> float:
+    """Seconds for `n_offsets` sequential unaligned plane shifts — the
+    algorithmic floor of any exact-spiral-order field kernel.
+
+    Measures a 1-carry scan doing ONLY `cnt += dynamic_slice(pad_plane,
+    offset)` over the same offset count: each unaligned shift is a vector
+    relayout on TPU (both XLA dynamic_slice and Mosaic lane/sublane rotates
+    pay it), and this cost — not the ~4 arithmetic ops per offset —
+    dominates the kernel. The real field runs ~1.4x this floor (it reads 3
+    planes and carries 6, amortized against the same relayouts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+
+    H, W = shape
+    rng = np_.random.default_rng(0)
+    padp = jnp.asarray(
+        rng.random((H + 2 * pad, W + 2 * pad)).astype(np_.float32)
+    )
+    offs = jnp.asarray(
+        rng.integers(0, 2 * pad, size=(n_offsets, 2)), jnp.int32
+    )
+
+    def make(k):
+        @jax.jit
+        def loop(t):
+            def outer(c, _):
+                def body(cnt, off):
+                    return (
+                        cnt
+                        + jax.lax.dynamic_slice(
+                            padp, (off[0], off[1]), (H, W)
+                        ),
+                        None,
+                    )
+
+                cnt, _ = jax.lax.scan(body, jnp.zeros((H, W)) + c, offs)
+                return c + 1e-12 * cnt[0, 0], None
+
+            c, _ = jax.lax.scan(outer, t, None, length=k)
+            return c
+
+        return loop
+
+    t1 = _timed_min(make(k1), jnp.float32(0))
+    t2 = _timed_min(make(k2), jnp.float32(0))
+    return max(t2 - t1, 1e-9) / (k2 - k1)
+
+
+def sol_report(
+    cells: int,
+    t_measured: float,
+    counts: Dict[str, float],
+    vpu_flops: float,
+    hbm_bw: float,
+) -> Dict[str, float]:
+    """Roofline verdict: pct_sol = (max of the two floors) / measured time.
+
+    VPU op peak = measured FMA FLOP/s / 2 (one FMA issue per lane per cycle;
+    non-FMA elementwise ops issue at the same rate)."""
+    vpu_ops_per_s = vpu_flops / 2.0
+    t_compute = cells * counts["ops_per_cell"] / vpu_ops_per_s
+    t_memory = cells * counts["hbm_bytes_per_cell"] / hbm_bw
+    bound = max(t_compute, t_memory)
+    return {
+        "t_compute_bound_s": t_compute,
+        "t_memory_bound_s": t_memory,
+        "binding": "compute" if t_compute >= t_memory else "memory",
+        "pct_sol": 100.0 * bound / max(t_measured, 1e-12),
+    }
