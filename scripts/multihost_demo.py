@@ -17,6 +17,15 @@ DCN.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
 
 import numpy as np
 

@@ -12,19 +12,34 @@ Usage: python scripts/online_loop.py [--map-m 50] [--seconds 10] [--rate 10]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
 
-def main():
+
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--map-m", type=float, default=50.0)
     ap.add_argument("--res", type=float, default=0.03)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--rate", type=float, default=10.0)
     ap.add_argument("--paths", type=int, default=256)
+    ap.add_argument(
+        "--warmup-ticks",
+        type=int,
+        default=2,
+        help="full loop-body ticks executed before the measured window; "
+        "compiles land here, not in the latency percentiles",
+    )
     ap.add_argument(
         "--window-m",
         type=float,
@@ -33,7 +48,7 @@ def main():
         "on the robot each tick (GridMap.recenter); 0 = persistent world map",
     )
     ap.add_argument("--json", default="", help="write a result JSON line here")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
 
@@ -58,24 +73,23 @@ def main():
     est.set_elevation_map(np.full((n, n), np.nan, np.float32))
     src = SyntheticTerrainSource(resolution=res)
 
+    import contextlib
+
+    _null = contextlib.nullcontext
+
     rng = np.random.default_rng(0)
     update_lat = LatencyTracker()
     query_lat = LatencyTracker()
     period = 1.0 / args.rate
     tick = 0
-    # warm compile before the timed loop
-    patch, _ = src.sample((0.0, 0.0), (4.0, 4.0))
-    est.update_with_submap(patch, (0.0, 0.0))
 
-    t_end = time.time() + args.seconds
-    while time.time() < t_end:
-        t_tick = time.time()
+    def run_tick(tick_no, measure):
         # robot drives a circle of radius map/4
-        theta = 0.15 * tick
+        theta = 0.15 * tick_no
         cx = args.map_m / 4 * np.cos(theta)
         cy = args.map_m / 4 * np.sin(theta)
         patch, _ = src.sample((cx, cy), (4.0, 4.0))
-        with update_lat.timed():
+        with update_lat.timed() if measure else _null():
             if roaming:
                 # bounded-memory roam: the fixed-size window follows the
                 # robot; overlap rolls, only new terrain is refreshed
@@ -92,22 +106,41 @@ def main():
         poses = np.concatenate(
             [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
         ).astype(np.float32)
-        with query_lat.timed():
+        with query_lat.timed() if measure else _null():
             safe, trav = est.check_circular_paths_batch(
                 poses, np.full((P,), N, np.int32), 0.3
             )
             # host fetch forces true completion: on tunneled dev transports
             # block_until_ready acks before device execution finishes
             safe = np.asarray(safe)
+
+    # Warmup: run the FULL loop body (update + recenter-if-roaming + query)
+    # unmeasured so that every compile — including the query path and the
+    # roaming recenter path, which the old single-update warmup missed — lands
+    # outside the latency percentiles and outside achieved_hz (VERDICT r2
+    # weak #5: p50 used to equal the first-tick compile time).
+    t0 = time.time()
+    for w in range(max(args.warmup_ticks, 1)):
+        run_tick(w, measure=False)
+    warmup_s = time.time() - t0
+    print(f"warmup: {args.warmup_ticks} ticks, {warmup_s:.1f}s "
+          "(compiles excluded from the measured window)", file=sys.stderr)
+
+    t_start = time.time()
+    t_end = t_start + args.seconds
+    while time.time() < t_end:
+        t_tick = time.time()
+        run_tick(args.warmup_ticks + tick, measure=True)
         tick += 1
         sleep = period - (time.time() - t_tick)
         if sleep > 0:
             time.sleep(sleep)
+    measured_s = time.time() - t_start
 
-    print(f"ticks: {tick} over {args.seconds}s (target {args.rate} Hz)")
+    print(f"ticks: {tick} over {measured_s:.1f}s (target {args.rate} Hz)")
     print("update latency:", update_lat.summary())
     print("query latency: ", query_lat.summary())
-    achieved = tick / args.seconds
+    achieved = tick / measured_s
     print(f"achieved rate: {achieved:.1f} Hz "
           f"({'OK' if achieved >= min(args.rate, 0.95 * args.rate) else 'UNDER TARGET'})")
     if args.json:
@@ -119,6 +152,9 @@ def main():
             "map_cells": [n, n],
             "target_hz": args.rate,
             "achieved_hz": round(achieved, 2),
+            "warmup_ticks": args.warmup_ticks,
+            "warmup_s": round(warmup_s, 1),
+            "measured_s": round(measured_s, 1),
             "ticks": tick,
             "update_ms": update_lat.summary(),
             "query_ms": query_lat.summary(),

@@ -16,12 +16,18 @@ from __future__ import annotations
 
 import json
 import statistics
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
 
 
 def log(*a):

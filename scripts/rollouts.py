@@ -14,10 +14,18 @@ Usage: python scripts/rollouts.py [--rollouts 100000] [--map-m 200] [--steps 5]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
 
 
 def run_tiled(args, elev, res):
@@ -141,7 +149,7 @@ def run_tiled(args, elev, res):
             f.write(json.dumps(blob) + "\n")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--map-m", type=float, default=200.0)
     ap.add_argument("--res", type=float, default=0.03)
@@ -164,9 +172,7 @@ def main():
         help="force an n-device virtual CPU mesh (e.g. 8) for --tiled demos",
     )
     ap.add_argument("--json", default="", help="write a result JSON line here")
-    args = ap.parse_args()
-
-    import os
+    args = ap.parse_args(argv)
 
     if args.cpu_mesh:
         flags = os.environ.get("XLA_FLAGS", "")

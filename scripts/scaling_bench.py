@@ -41,6 +41,13 @@ import os
 import sys
 import time
 
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -64,7 +71,7 @@ def _timed_slope(make_loop, arg, k1: int, k2: int) -> float:
     return max(min(t2s) - min(t1s), 1e-9) / (k2 - k1)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--tile", type=int, default=256, help="per-device tile edge")
@@ -78,7 +85,7 @@ def main():
     )
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=12)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.backend == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")
@@ -93,7 +100,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+        os.path.join(_REPO, ".jax_cache_cpu" if args.backend == "cpu" else ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
