@@ -180,3 +180,89 @@ class TestPolygon:
         hull = geometry.convex_hull_np(pts)
         assert len(hull) == 4
         assert {tuple(p) for p in hull.tolist()} == {(0, 0), (2, 0), (2, 2), (0, 2)}
+
+
+class TestGetSubmap:
+    """GridMap.get_submap — grid_map getSubmap(position, length, isSuccess)
+    parity (used by the reference's getTraversabilityMap service,
+    TraversabilityEstimation.cpp:297-316)."""
+
+    def _map(self):
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((10, 14)).astype(np.float32)
+        m = GridMap.create(
+            (10, 14), 0.1, position=(0.3, -0.2), layers=["elevation"]
+        )
+        return m.add("elevation", data), data
+
+    def test_interior_request_exact_cells(self):
+        m, data = self._map()
+        # centered on cell (4,7)'s center (0.35, -0.25); 0.25 m square
+        sub, ok = m.get_submap((0.35, -0.25), (0.25, 0.25))
+        assert ok
+        assert sub.size == (3, 3)
+        np.testing.assert_allclose(
+            np.asarray(sub.position), [0.35, -0.25], atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sub["elevation"]), data[3:6, 6:9]
+        )
+
+    def test_partially_off_map_clips_and_succeeds(self):
+        m, data = self._map()
+        # x range (0.55, 0.95) sticks out beyond the 0.8 edge -> clipped to
+        # the 3 cells covering (0.5, 0.8]; center stays on-map -> success.
+        # (y length 0.18 keeps the request off exact cell edges — edge-exact
+        # requests are float-ill-conditioned in grid_map as well)
+        sub, ok = m.get_submap((0.75, 0.0), (0.4, 0.18))
+        assert ok
+        assert sub.size == (3, 2)
+        np.testing.assert_allclose(
+            np.asarray(sub.position), [0.65, 0.0], atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sub["elevation"]), data[0:3, 4:6]
+        )
+
+    def test_fully_off_map_fails(self):
+        m, _ = self._map()
+        _, ok = m.get_submap((2.0, 0.0), (0.4, 0.4))
+        assert not ok
+        _, ok = m.get_submap((0.3, -5.0), (0.4, 0.4))
+        assert not ok
+
+    def test_oversized_request_returns_whole_map(self):
+        m, data = self._map()
+        sub, ok = m.get_submap((0.3, -0.2), (10.0, 10.0))
+        assert ok
+        assert sub.size == (10, 14)
+        np.testing.assert_allclose(np.asarray(sub.position), [0.3, -0.2], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(sub["elevation"]), data)
+
+    def test_fuzz_value_identity_via_world_positions(self):
+        """Every successful submap cell must hold the parent cell's value at
+        the same world position (the index-math oracle, incl. partially
+        off-map requests)."""
+        m, data = self._map()
+        rng = np.random.default_rng(11)
+        n_ok = 0
+        for _ in range(60):
+            center = rng.uniform([-0.4, -1.2], [1.0, 0.6])
+            length = rng.uniform(0.05, 1.2, 2)
+            sub, ok = m.get_submap(tuple(center), tuple(length))
+            if not ok:
+                # success=False iff the requested center is off the parent map
+                assert not bool(m.is_inside(np.asarray(center, np.float32)))
+                continue
+            n_ok += 1
+            r, c = sub.size
+            idx = np.stack(np.meshgrid(np.arange(r), np.arange(c), indexing="ij"), -1)
+            world = np.asarray(sub.position_of(idx.reshape(-1, 2)))
+            parent_idx = np.asarray(m.index_of(world))
+            assert (parent_idx >= 0).all()
+            assert (parent_idx < np.array(m.size)).all()
+            np.testing.assert_array_equal(
+                np.asarray(sub["elevation"]).reshape(-1),
+                data[parent_idx[:, 0], parent_idx[:, 1]],
+            )
+        assert n_ok >= 10  # the fuzz box actually exercises successes

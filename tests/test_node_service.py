@@ -259,3 +259,58 @@ def test_cli_run_golden(tmp_path, capsys):
     assert "map 100x133" in captured
     assert "path check" in captured
     assert os.path.exists(out_bag)
+
+
+def test_service_get_traversability_submap(server):
+    """get_traversability with position+length returns the clipped submap and
+    the reference's isSuccess semantics (TraversabilityEstimation.cpp:297-316:
+    map.getSubmap at :305, success flag as service result :309,315)."""
+    host, port = server.address
+    with TraversabilityClient(host, port) as cli:
+        assert cli.update_traversability()["ok"]
+        full = cli.get_traversability(layers=["traversability"])
+        assert full["ok"]
+        rows, cols = full["map_info"]["size"]
+        res = full["map_info"]["resolution"]
+        cx, cy = full["map_info"]["position"]
+
+        # interior submap: ~0.3 m square around the center
+        resp = cli.get_traversability(
+            layers=["traversability"], position=(cx, cy), length=(0.31, 0.31)
+        )
+        assert resp["ok"]
+        sr, sc = resp["map_info"]["size"]
+        assert 0 < sr < rows and 0 < sc < cols
+        sub = resp["data"]["traversability"]
+        assert sub.shape == (sr, sc)
+        # values are a contiguous block of the full plane
+        fullp = full["data"]["traversability"]
+        i0 = round((rows - sr) / 2)
+        j0 = round((cols - sc) / 2)
+        np.testing.assert_array_equal(
+            np.nan_to_num(sub, nan=-7.0),
+            np.nan_to_num(fullp[i0 : i0 + sr, j0 : j0 + sc], nan=-7.0),
+        )
+
+        # no layer filter -> all layers of the submap come back
+        resp = cli.get_traversability(position=(cx, cy), length=(0.31, 0.31))
+        assert resp["ok"]
+        assert set(resp["data"]) == set(resp["map_info"]["layers"])
+
+        # partially off-map: clipped but ok (center on-map)
+        half_x = rows * res / 2
+        resp = cli.get_traversability(
+            layers=["traversability"],
+            position=(cx + half_x - 2 * res, cy),
+            length=(8 * res, 4 * res),
+        )
+        assert resp["ok"]
+        assert resp["map_info"]["size"][0] < 8  # clipped at the edge
+
+        # fully off-map: the reference's isSuccess=false -> ok=false
+        resp = cli.get_traversability(
+            layers=["traversability"],
+            position=(cx + rows * res, cy),
+            length=(4 * res, 4 * res),
+        )
+        assert not resp["ok"]

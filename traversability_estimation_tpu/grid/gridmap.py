@@ -225,6 +225,73 @@ class GridMap:
         new_layers = {k: shift_layer(v) for k, v in self.layers.items()}
         return dataclasses.replace(self, layers=new_layers, position=snapped)
 
+    def get_submap(self, position, length) -> Tuple["GridMap", bool]:
+        """grid_map ``GridMap::getSubmap(position, length, isSuccess)`` analog.
+
+        Clips the requested center+length rectangle to the map, snaps it to
+        whole cells, and returns ``(submap, success)``. Success follows
+        grid_map's semantics (GridMapMath.cpp getSubmapInformation): the
+        requested CENTER must land inside the *generated* submap — a request
+        entirely off-map clips to an edge sliver that no longer contains its
+        center and fails; a partially-off-map request whose center is on the
+        map succeeds with the clipped extent. Reference service use:
+        /root/reference/traversability_estimation/src/TraversabilityEstimation.cpp:297-316
+        (``map.getSubmap`` at :305; ``isSuccess`` is the service result,
+        :309,315).
+
+        Host-side method (float64 math, Python slicing) — the service layer
+        is host code; do not call under jit.
+        """
+        rows, cols = self.size
+        res = float(self.resolution)
+        mpos = np.asarray(self.position, np.float64)
+        L = np.array([rows * res, cols * res], np.float64)
+        req_pos = np.asarray(position, np.float64).reshape(2)
+        req_len = np.asarray(length, np.float64).reshape(2)
+
+        def bound(p):
+            # grid_map boundPositionToRange: clamp each coordinate into the
+            # open interval (center - L/2, center + L/2) with a tiny inset so
+            # the subsequent floor() lands on a real cell
+            out = p.copy()
+            for i in range(2):
+                eps = 10.0 * np.finfo(np.float64).eps * max(abs(p[i]), 1.0)
+                lo, hi = mpos[i] - 0.5 * L[i], mpos[i] + 0.5 * L[i]
+                if out[i] <= lo:
+                    out[i] = lo + eps
+                elif out[i] >= hi:
+                    out[i] = hi - eps
+            return out
+
+        def idx(p):
+            # getIndexFromPosition: i = floor((center + L/2 - p) / res)
+            return np.floor((mpos + 0.5 * L - p) / res).astype(int)
+
+        top_left = bound(req_pos + 0.5 * req_len)  # largest coords = index 0,0 side
+        bottom_right = bound(req_pos - 0.5 * req_len)
+        tl, br = idx(top_left), idx(bottom_right)
+        size = br - tl + 1
+        sub_len = size * res
+        # submap center from the top-left cell's outer corner
+        tl_center = mpos + 0.5 * L - (tl + 0.5) * res
+        sub_pos = (tl_center + 0.5 * res) - 0.5 * sub_len
+        # success: requested center within the generated submap, grid_map's
+        # checkIfPositionWithinMap bounds (lower edge exclusive, upper incl.)
+        t = sub_pos + 0.5 * sub_len - req_pos
+        ok = bool(np.all((t >= 0.0) & (t < sub_len)))
+        sub_layers = {
+            k: v[tl[0] : tl[0] + size[0], tl[1] : tl[1] + size[1]]
+            for k, v in self.layers.items()
+        }
+        sub = GridMap(
+            layers=sub_layers,
+            resolution=res,
+            position=jnp.asarray(sub_pos, jnp.float32),
+            frame_id=self.frame_id,
+            basic_layers=self.basic_layers,
+        )
+        return sub, ok
+
     # -- geometry ----------------------------------------------------------
     def cell_positions(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(rows, cols) arrays of cell-center x and y map-frame coordinates."""

@@ -13,7 +13,10 @@ Services (names match the reference):
                                   [footprint],[conservative],
                                   [compute_untraversable_polygon]}]
   update_traversability           -> map info
-  get_traversability              [layers=[names]] -> info + base64 f32 planes
+  get_traversability              [layers=[names]] [position=[x,y]
+                                  length=[lx,ly]] -> info + base64 f32 planes
+                                  (position+length = clipped submap request,
+                                  grid_map_msgs/GetGridMap parity)
   traversability_footprint        -> dense footprint layers computed
   load_elevation_map              path=...
   save_traversability_map_to_bag  path=...
@@ -146,11 +149,38 @@ class TraversabilityServer:
         if name == "get_traversability":
             if not node.estimator.initialized:
                 return {"ok": False, "error": "map not initialized"}
-            info = _map_info(node)
-            out = {"ok": True, "map_info": info}
+            gm = node.estimator.traversability_map
             wanted = req.get("layers")
+            # submap extraction — reference getTraversabilityMap semantics
+            # (TraversabilityEstimation.cpp:297-316): the request carries a
+            # position + length, the map's getSubmap clips it, and isSuccess
+            # is the service result. Full map when no length is requested.
+            length = req.get("length")
+            is_submap = bool(length) and float(length[0]) > 0 and float(length[1]) > 0
+            if is_submap:
+                position = req.get("position", (0.0, 0.0))
+                gm, success = gm.get_submap(
+                    (float(position[0]), float(position[1])),
+                    (float(length[0]), float(length[1])),
+                )
+                if not success:
+                    return {
+                        "ok": False,
+                        "error": "requested submap does not contain its center "
+                        "position (off-map request)",
+                    }
+                if not wanted:  # reference returns ALL layers when unspecified
+                    wanted = sorted(gm.layers)
+            rows, cols = gm.size
+            info = {
+                "frame_id": gm.frame_id,
+                "resolution": float(gm.resolution),
+                "size": [int(rows), int(cols)],
+                "position": [float(v) for v in np.asarray(gm.position)],
+                "layers": sorted(gm.layers),
+            }
+            out = {"ok": True, "map_info": info}
             if wanted:
-                gm = node.estimator.traversability_map
                 planes = {}
                 for lname in wanted:
                     if lname not in gm.layers:
@@ -242,8 +272,22 @@ class TraversabilityClient:
     def update_traversability(self) -> Dict:
         return self.call("update_traversability")
 
-    def get_traversability(self, layers: Optional[List[str]] = None) -> Dict:
-        resp = self.call("get_traversability", **({"layers": layers} if layers else {}))
+    def get_traversability(
+        self,
+        layers: Optional[List[str]] = None,
+        position=None,
+        length=None,
+    ) -> Dict:
+        """Full map info (+ layer planes), or a clipped submap when
+        ``position``/``length`` are given — grid_map_msgs/GetGridMap parity
+        (TraversabilityEstimation.cpp:297-316)."""
+        kwargs: Dict = {}
+        if layers:
+            kwargs["layers"] = layers
+        if length is not None:
+            kwargs["length"] = list(map(float, length))
+            kwargs["position"] = list(map(float, position or (0.0, 0.0)))
+        resp = self.call("get_traversability", **kwargs)
         if resp.get("ok") and "data" in resp:
             resp["data"] = {k: decode_plane(v) for k, v in resp["data"].items()}
         return resp
