@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# CI gate. The reference ships a 2-line build-only Jenkins pipeline
+# (/root/reference/jenkins-pipeline:1-2); this gate actually tests.
+#
+#   scripts/ci.sh            fast lane (~3 min warm cache): fast test profile
+#                            on the 8-device virtual CPU mesh, including the
+#                            golden-bag regression gate (test_oracle_golden)
+#   scripts/ci.sh --nightly  adds: slow test profile (~10 min), multichip
+#                            dry run, real-chip bench with the per-kernel
+#                            >25% regression check vs committed BENCH_last.json
+#
+# Exit code != 0 on any failure — a fresh clone can run this one command.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+lane="${1:-fast}"
+
+echo "== fast test profile (golden regression gate included) =="
+python -m pytest tests/ -x -q
+
+if [ "$lane" = "--nightly" ]; then
+  echo "== slow test profile =="
+  python -m pytest tests/ -x -q -m slow
+
+  echo "== multichip dry run (8 virtual CPU devices) =="
+  python - <<'PY'
+import os
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("dryrun ok")
+PY
+
+  echo "== real-chip bench + per-kernel regression gate =="
+  python bench.py > /tmp/ci_bench.json
+  python - <<'PY'
+import json
+blob = json.loads(open("/tmp/ci_bench.json").read().strip().splitlines()[-1])
+regs = blob.get("regressions_vs_last") or []
+if regs:
+    raise SystemExit(f"bench regression gate FAILED: {regs}")
+print(f"bench regression gate ok: {blob['vs_baseline']}x pinned baseline")
+PY
+fi
+
+echo "CI gate PASSED ($([ "$lane" = "--nightly" ] && echo nightly || echo fast) lane)"
