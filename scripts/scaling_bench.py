@@ -71,6 +71,161 @@ def _timed_slope(make_loop, arg, k1: int, k2: int) -> float:
     return max(min(t2s) - min(t1s), 1e-9) / (k2 - k1)
 
 
+def run_worker(args):
+    """One process of the --processes multi-host mode: join the distributed
+    runtime (gloo on the CPU rig, auto on a TPU pod), run the weak-scaling
+    sharded update over the GLOBAL mesh, report from process 0."""
+    import jax
+
+    from traversability_estimation_tpu.parallel.multihost import (
+        initialize_multihost,
+    )
+
+    mesh = initialize_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.processes,
+        process_id=args.process_id,
+        local_cpu_devices=args.local_devices,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.ops.veto import VetoConfig
+    from traversability_estimation_tpu.parallel import sharding as sh
+
+    res = 0.03
+    ccfg = ChainConfig(resolution=res)
+    vcfg = VetoConfig(resolution=res)
+    gx, gy = mesh.devices.shape
+    n_dev = mesh.devices.size
+    H, W = args.tile * gx, args.tile * gy  # weak scaling: fixed per-device tile
+    rng = np.random.default_rng(0)  # same seed everywhere: identical input
+    elev = (0.05 * rng.standard_normal((H, W))).astype(np.float32)
+    elev[rng.random((H, W)) < 0.02] = np.nan
+    elev_dev = jnp.asarray(elev)
+
+    def make_loop(k):
+        @jax.jit
+        def loop(e):
+            def body(c, _):
+                layers = sh.sharded_update(c, ccfg, vcfg, mesh)
+                return c + 1e-12 * jnp.nan_to_num(layers["traversability"]), None
+
+            c, _ = jax.lax.scan(body, e, None, length=k)
+            # replicated scalar: every process can fetch it, and the psum it
+            # implies keeps all processes lockstep through the timed region
+            return jnp.nansum(c)
+
+        return loop
+
+    f1, f2 = make_loop(args.k1), make_loop(args.k2)
+    np.asarray(f1(elev_dev))
+    np.asarray(f2(elev_dev))  # compile both
+    multihost_utils.sync_global_devices("scaling_bench_warm")
+    t1s, t2s = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f1(elev_dev))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(elev_dev))
+        t2s.append(time.perf_counter() - t0)
+    t_upd = max(min(t2s) - min(t1s), 1e-9) / (args.k2 - args.k1)
+    cells_s = H * W / t_upd
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "kind": "scaling_update_multihost",
+                    "backend": jax.devices()[0].platform,
+                    "hosts": args.processes,
+                    "devices": n_dev,
+                    "grid": [int(gx), int(gy)],
+                    "map": [H, W],
+                    "t_iter_ms": round(t_upd * 1e3, 3),
+                    "cells_per_s": round(cells_s, 1),
+                    "cells_per_s_per_device": round(cells_s / n_dev, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+def run_multiprocess(args):
+    """Parent of the --processes mode: launch 1-host then N-host worker
+    groups (real processes, gloo collectives — the DCN-path shape on the
+    CPU rig; the identical worker code runs on a TPU pod where DCN is real),
+    and report host-scaling efficiency: ≥80% to 2 hosts is the target."""
+    import subprocess
+
+    rows = []
+    for n in sorted({1, args.processes}):
+        port = 21000 + (os.getpid() + 13 * n) % 20000
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        env["JAX_PLATFORMS"] = "cpu"
+        prev = env.get("PYTHONPATH", "")
+        if _REPO not in prev.split(os.pathsep):
+            env["PYTHONPATH"] = (prev + os.pathsep + _REPO).lstrip(os.pathsep)
+        cmd_base = [
+            sys.executable, os.path.abspath(__file__),
+            "--processes", str(n), "--coordinator", f"localhost:{port}",
+            "--local-devices", str(args.local_devices),
+            "--tile", str(args.tile), "--k1", str(args.k1), "--k2", str(args.k2),
+        ]
+        log(f"launching {n}-process group (x{args.local_devices} virtual "
+            f"devices each) on port {port}")
+        procs = [
+            subprocess.Popen(
+                cmd_base + ["--process-id", str(pid)],
+                stdout=subprocess.PIPE if pid == 0 else subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL if pid else None,
+                env=env,
+                cwd=_REPO,
+            )
+            for pid in range(n)
+        ]
+        out0, _ = procs[0].communicate(timeout=900)
+        for p in procs[1:]:
+            p.wait(timeout=900)
+        for line in out0.decode().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                row = json.loads(line)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        if any(p.returncode != 0 for p in procs):
+            print(json.dumps({"kind": "error", "hosts": n,
+                              "returncodes": [p.returncode for p in procs]}))
+
+    base = next((r for r in rows if r.get("hosts") == 1), None)
+    multi = next((r for r in rows if r.get("hosts") == args.processes), None)
+    eff = (
+        round(multi["cells_per_s_per_device"] / base["cells_per_s_per_device"], 3)
+        if base and multi else None
+    )
+    print(
+        json.dumps(
+            {
+                "kind": "scaling_multihost_summary",
+                "hosts": args.processes,
+                "local_devices": args.local_devices,
+                "efficiency_per_device_vs_1host": eff,
+                "note": (
+                    "real processes + gloo cross-process collectives (the "
+                    "DCN-path shape); CPU-rig numbers validate plumbing, "
+                    "not ICI/DCN bandwidth"
+                ),
+            }
+        )
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -85,7 +240,26 @@ def main(argv=None):
     )
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=12)
+    ap.add_argument(
+        "--processes",
+        type=int,
+        default=0,
+        help="multi-host mode: launch N real processes with gloo collectives "
+        "and report host-scaling efficiency (>=80% to 2 hosts target)",
+    )
+    ap.add_argument("--local-devices", type=int, default=4,
+                    help="virtual devices per process in --processes mode")
+    ap.add_argument("--coordinator", default=None, help="(worker-internal)")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="(worker-internal)")
     args = ap.parse_args(argv)
+
+    if args.processes and args.process_id is not None:
+        run_worker(args)
+        return
+    if args.processes:
+        run_multiprocess(args)
+        return
 
     if args.backend == "cpu":
         flags = os.environ.get("XLA_FLAGS", "")

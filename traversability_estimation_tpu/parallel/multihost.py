@@ -39,13 +39,18 @@ def initialize_multihost(
         or os.environ.get("JAX_PLATFORMS", "")
     )
     # decide from config/env only — calling jax.default_backend() here would
-    # initialize the backend before the flags take effect
-    if num_processes is not None and num_processes > 1 and "tpu" not in platforms:
+    # initialize the backend before the flags take effect. Applies whenever
+    # the caller asked for virtual CPU devices — including num_processes == 1
+    # (the scaling-efficiency denominator run): host sitecustomize setups can
+    # force-register accelerator plugins over JAX_PLATFORMS, and a 1-host
+    # "CPU" run silently landing on an accelerator poisons the comparison.
+    if "tpu" not in platforms and (
+        local_cpu_devices or (num_processes is not None and num_processes > 1)
+    ):
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
             if local_cpu_devices:
-                # pin the platform via config too: host sitecustomize setups
-                # can force-register accelerator plugins over JAX_PLATFORMS
+                # pin the platform via config too (see note above)
                 jax.config.update("jax_platforms", "cpu")
                 jax.config.update("jax_num_cpu_devices", int(local_cpu_devices))
         except Exception:  # noqa: BLE001 — older jax: flag absent, mpi-only
