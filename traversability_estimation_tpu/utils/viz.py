@@ -24,7 +24,9 @@ def layer_to_rgb(
     hi = np.nanmax(a) if vmax is None else vmax
     if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
         lo, hi = 0.0, 1.0
-    t = np.clip((a - lo) / (hi - lo), 0.0, 1.0)
+    # mask NaN before the arithmetic/cast: casting NaN to uint8 raises
+    # RuntimeWarnings and is UB-adjacent; unknown cells render grey anyway
+    t = np.clip((np.where(finite, a, lo) - lo) / (hi - lo), 0.0, 1.0)
     rgb = np.zeros(a.shape + (3,), np.uint8)
     rgb[..., 0] = np.where(finite, ((1.0 - t) * 255).astype(np.uint8), 128)
     rgb[..., 1] = np.where(finite, (t * 255).astype(np.uint8), 128)
