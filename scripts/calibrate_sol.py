@@ -1,0 +1,190 @@
+"""Per-stage SoL calibration on the real chip (VERDICT r2 weak #3).
+
+The r02 bench measured the fused update at 116% of the roofline model's
+compute bound — i.e. at least one stage's hand-derived op count is inflated
+and "~100% of SoL" was an extrapolation. This script times each stage of the
+update IN ISOLATION with the chained-lax.scan slope methodology (transport
+RTT and dispatch cancel) and compares against the model's per-stage counts
+(utils/roofline.update_op_estimate breakdown):
+
+    implied_ops_ceiling = t_measured * measured_vpu_ops_per_s / cells
+
+is the most ops that stage can actually be executing — the model may not
+claim more. Output: one JSON line per stage + a summary with the calibrated
+total, to be folded back into roofline.update_op_estimate.
+
+Run: python scripts/calibrate_sol.py            (real chip)
+     JAX_PLATFORMS=cpu python scripts/calibrate_sol.py   (plumbing smoke)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=336)
+    ap.add_argument("--k1", type=int, default=16)
+    ap.add_argument("--k2", type=int, default=48)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(_REPO, ".jax_cache_cpu" if args.cpu else ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from traversability_estimation_tpu.ops import filters as F
+    from traversability_estimation_tpu.ops import veto as V
+    from traversability_estimation_tpu.utils import roofline
+
+    log(f"devices: {jax.devices()}")
+    res = 0.03
+    H = W = args.size
+    cells = H * W
+    ccfg = F.ChainConfig(resolution=res)
+    vcfg = V.VetoConfig(resolution=res, check_roughness=False)
+
+    rng = np.random.default_rng(1)
+    elev_np = (0.1 * rng.standard_normal((H, W))).astype(np.float32)
+    elev_np[rng.random((H, W)) < 0.01] = np.nan
+    elev = jnp.asarray(elev_np)
+
+    # fixed auxiliary inputs (perturbed by the carry inside each loop so
+    # iterations stay data-dependent)
+    normals = F.surface_normals(elev, res, ccfg.normals_radius)
+    nz = normals["surface_normal_z"]
+    slope_l = F.slope_from_normals(nz, ccfg.slope_critical)
+    step_l = F.step_layer(
+        elev, res, ccfg.step_critical, ccfg.step_first_window_radius,
+        ccfg.step_second_window_radius, ccfg.step_critical_cell_number,
+    )
+    jax.block_until_ready((slope_l, step_l))
+
+    def timed_slope(make_loop):
+        f1, f2 = make_loop(args.k1), make_loop(args.k2)
+        np.asarray(f1(elev))
+        np.asarray(f2(elev))  # compile both
+        t1s, t2s = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f1(elev))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(elev))
+            t2s.append(time.perf_counter() - t0)
+        return max(min(t2s) - min(t1s), 1e-9) / (args.k2 - args.k1)
+
+    def scan_loop(stage_fn):
+        def make(k):
+            @jax.jit
+            def loop(e):
+                def body(c, _):
+                    out = stage_fn(c)
+                    return c + 1e-12 * jnp.nan_to_num(out[0, 0]), None
+
+                c, _ = jax.lax.scan(body, e, None, length=k)
+                return c[0, 0]
+
+            return loop
+
+        return make
+
+    stages = {
+        "normals": lambda c: F.surface_normals(c, res, ccfg.normals_radius)[
+            "surface_normal_z"
+        ],
+        "slope": lambda c: F.slope_from_normals(
+            nz + 0.0 * c[0, 0], ccfg.slope_critical
+        ),
+        "step": lambda c: F.step_layer(
+            c, res, ccfg.step_critical, ccfg.step_first_window_radius,
+            ccfg.step_second_window_radius, ccfg.step_critical_cell_number,
+        ),
+        "veto_counts": lambda c: V._count_veto_ok(
+            slope_l + 0.0 * c[0, 0], res, vcfg.slope_n_critical
+        ).astype(jnp.float32),
+        "veto_step_walk": lambda c: V.step_veto_ok(
+            c, step_l + 0.0 * c[0, 0], vcfg
+        ).astype(jnp.float32),
+    }
+
+    vpu = roofline.measure_vpu_f32_flops()
+    vpu_ops = vpu / 2.0
+    log(f"measured VPU: {vpu/1e12:.2f} TFLOP/s -> {vpu_ops/1e12:.2f} Tops/s")
+
+    model = roofline.update_op_estimate(ccfg, vcfg)["breakdown"]
+    # the model's veto_counts entry covers slope (+roughness when on); the
+    # isolated stage here is ONE count pass
+    model_iso = dict(model)
+    model_iso["veto_counts"] = model["veto_counts"] // (
+        2 if vcfg.check_roughness else 1
+    )
+    name_map = {"veto_step_walk": "veto_step_walk", "veto_counts": "veto_counts"}
+
+    results = {}
+    total_meas = 0.0
+    for name, fn in stages.items():
+        t = timed_slope(scan_loop(fn))
+        implied = t * vpu_ops / cells
+        mkey = name_map.get(name, name)
+        m_ops = float(model_iso.get(mkey, 0))
+        t_model = cells * m_ops / vpu_ops
+        row = {
+            "stage": name,
+            "t_meas_ms": round(t * 1e3, 4),
+            "model_ops_per_cell": m_ops,
+            "t_model_bound_ms": round(t_model * 1e3, 4),
+            "stage_pct_sol": round(100 * t_model / t, 1) if t_model else None,
+            "implied_ops_ceiling": round(implied, 1),
+            "model_inflated": bool(m_ops > implied + 1),
+        }
+        results[name] = row
+        total_meas += t
+        print(json.dumps(row), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "stage": "TOTAL(isolated sum)",
+                "t_meas_ms": round(total_meas * 1e3, 4),
+                "model_ops_per_cell": float(sum(model_iso.get(
+                    name_map.get(n, n), 0) for n in stages)),
+                "note": (
+                    "fused update runs faster than the isolated sum "
+                    "(shared elevation reads + overlap); stage rows bound "
+                    "each model term independently"
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
