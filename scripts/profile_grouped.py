@@ -1,0 +1,163 @@
+"""Stage decomposition of the GROUPED polygonal evaluator, identity vs
+rotated (VERDICT r3 target: rotated >= 100x the pinned baseline).
+
+Times, with the two-point scan-length slope:
+  A. identity translate_only (the 185x fast path) — reference point
+  B. rotated full (hull build + rotated window)     — the slow case
+  C. rotated with the IDENTITY-SIZED window         — isolates window area
+     (verdicts invalid for clipped paths; timing-only)
+  D. rotated with translate_only=True               — skips convex_hull_batch
+     (verdicts wrong; timing-only -> isolates the hull stage)
+  E. convex_hull_batch alone on the 50k segment point sets
+
+Run: python scripts/profile_grouped.py          (real chip)
+     python scripts/profile_grouped.py --cpu    (plumbing smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# self-bootstrap: run from a fresh checkout without installing the package.
+# APPEND (never overwrite PYTHONPATH / prepend): this host's TPU plugin lives
+# on PYTHONPATH and must keep winning import resolution.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--paths", type=int, default=1024)
+    ap.add_argument("--poses", type=int, default=50)
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=12)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(_REPO, ".jax_cache_cpu" if args.cpu else ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from bench import make_paths, synthetic_terrain
+    from traversability_estimation_tpu.models import TraversabilityEstimator
+    from traversability_estimation_tpu.ops import footprint as fp_ops
+    from traversability_estimation_tpu.ops.hull import convex_hull_batch
+    from traversability_estimation_tpu.utils.config import EstimatorConfig
+
+    log("devices:", jax.devices())
+    res = 0.03
+    H = W = 336
+    est = TraversabilityEstimator(EstimatorConfig(resolution=res))
+    est.update(synthetic_terrain(H, W, res, seed=1))
+    state = est.query_state
+
+    rng = np.random.default_rng(3)
+    P, N = args.paths, args.poses
+    poses = make_paths(rng, P, N, H * res / 2 * 0.8)
+    footprint = np.asarray(est.config.footprint.footprint_polygon, np.float32)
+    V = footprint.shape[0]
+    ext = poses.max(axis=1) - poses.min(axis=1)
+    win_id = fp_ops.path_group_window(footprint, ext, res, True)
+    win_rot = fp_ops.path_group_window(footprint, ext, res, False)
+    log(f"windows: identity {win_id}, rotated {win_rot} "
+        f"(area x{win_rot[0]*win_rot[1]/(win_id[0]*win_id[1]):.2f})")
+
+    pos3 = jnp.asarray(np.concatenate([poses, np.zeros((P, N, 1), np.float32)], -1))
+    qid = np.zeros((P, N, 4), np.float32)
+    qid[..., 3] = 1.0
+    yaw = rng.uniform(0, 2 * np.pi, (P, N)).astype(np.float32)
+    qrot = np.zeros((P, N, 4), np.float32)
+    qrot[..., 2] = np.sin(yaw / 2)
+    qrot[..., 3] = np.cos(yaw / 2)
+    qid_dev, qrot_dev = jnp.asarray(qid), jnp.asarray(qrot)
+    n_poses = jnp.asarray(np.full((P,), N, np.int32))
+
+    def slope(make_loop, arg):
+        f1, f2 = make_loop(args.k1), make_loop(args.k2)
+        np.asarray(f1(arg))
+        np.asarray(f2(arg))
+        t1s, t2s = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f1(arg))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(arg))
+            t2s.append(time.perf_counter() - t0)
+        return max(min(t2s) - min(t1s), 1e-9) / (args.k2 - args.k1)
+
+    def grouped_loop(quats, window, translate_only):
+        def make(k):
+            @jax.jit
+            def loop(p):
+                def body(c, _):
+                    s, t, a = fp_ops.check_polygonal_paths_grouped(
+                        state, c, quats, n_poses, footprint, window,
+                        False, translate_only,
+                    )
+                    return c + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), None
+                c, _ = jax.lax.scan(body, p, None, length=k)
+                return c[0, 0, 0]
+            return loop
+        return make
+
+    rows = []
+
+    def report(name, t):
+        row = {"stage": name, "t_ms": round(t * 1e3, 3),
+               "Mchecks_per_s": round(P * N / t / 1e6, 2)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    report("A identity translate_only",
+           slope(grouped_loop(qid_dev, win_id, True), pos3))
+    report("B rotated full",
+           slope(grouped_loop(qrot_dev, win_rot, False), pos3))
+    report("C rotated, identity-size window (timing-only)",
+           slope(grouped_loop(qrot_dev, win_id, False), pos3))
+    report("D rotated, translate_only (skips hull; timing-only)",
+           slope(grouped_loop(qrot_dev, win_rot, True), pos3))
+
+    # E: hull build alone
+    polys0 = fp_ops.transform_footprint(jnp.asarray(footprint), pos3, qrot_dev)
+    points = jnp.concatenate([polys0[:, :-1], polys0[:, 1:]], axis=2).reshape(
+        P * (N - 1), 2 * V, 2
+    )
+    n_valid = jnp.full((P * (N - 1),), 2 * V, jnp.int32)
+
+    def hull_loop(k):
+        @jax.jit
+        def loop(pts):
+            def body(c, _):
+                hulls, n_hull = convex_hull_batch(c, n_valid)
+                return c + 1e-12 * hulls[0, 0, 0], None
+            c, _ = jax.lax.scan(body, pts, None, length=k)
+            return c[0, 0, 0]
+        return loop
+
+    t_h = slope(hull_loop, points)
+    rows.append({"stage": f"E convex_hull_batch ({P*(N-1)} x {2*V} pts)",
+                 "t_ms": round(t_h * 1e3, 3)})
+    print(json.dumps(rows[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
