@@ -136,6 +136,35 @@ def main(argv=None):
     report("D rotated, translate_only (skips hull; timing-only)",
            slope(grouped_loop(qrot_dev, win_rot, True), pos3))
 
+    # H: rotated with per-(path, segment-block) windows — the candidate fix:
+    # block hulls span ~8 segments, so the span evaluator's window area (its
+    # cost driver) shrinks ~3x; trades one window fetch per path for one per
+    # (path, block).
+    bw_rot = fp_ops.path_block_window(footprint, poses, res, False)
+    log(f"block window rotated: {bw_rot} "
+        f"(area x{bw_rot[0]*bw_rot[1]/(win_rot[0]*win_rot[1]):.2f} of path window)")
+
+    def grouped_block_loop(quats, window, bw):
+        def make(k):
+            @jax.jit
+            def loop(p):
+                def body(c, _):
+                    s, t, a = fp_ops.check_polygonal_paths_grouped(
+                        state, c, quats, n_poses, footprint, window,
+                        False, False, block_window=bw,
+                    )
+                    return c + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), None
+                c, _ = jax.lax.scan(body, p, None, length=k)
+                return c[0, 0, 0]
+            return loop
+        return make
+
+    report("H rotated, block windows",
+           slope(grouped_block_loop(qrot_dev, win_rot, bw_rot), pos3))
+    bw_id = fp_ops.path_block_window(footprint, poses, res, True)
+    report("I identity, block windows (translate_only off)",
+           slope(grouped_block_loop(qid_dev, win_id, bw_id), pos3))
+
     # E: hull build alone
     polys0 = fp_ops.transform_footprint(jnp.asarray(footprint), pos3, qrot_dev)
     points = jnp.concatenate([polys0[:, :-1], polys0[:, 1:]], axis=2).reshape(
@@ -156,6 +185,52 @@ def main(argv=None):
     t_h = slope(hull_loop, points)
     rows.append({"stage": f"E convex_hull_batch ({P*(N-1)} x {2*V} pts)",
                  "t_ms": round(t_h * 1e3, 3)})
+    print(json.dumps(rows[-1]), flush=True)
+
+    # F/G: window-fetch pattern costs (vmapped dynamic_slice from the padded
+    # plane = XLA gather with per-path offsets). F is the one-time per-path
+    # fetch the evaluator pays today; G is the per-(path, segment-block)
+    # sub-window pattern a block-window variant would pay — its feasibility
+    # probe.
+    gwi, gwj = win_rot
+    gpad = max(gwi, gwj)
+    gpacked = jnp.pad(state.traversability, gpad, constant_values=jnp.inf)
+    aidx = rng.integers(0, 300, size=(P, 2)).astype(np.int32)
+    starts = jnp.asarray(aidx)
+
+    def fetch_loop(wi, wj, nblocks):
+        def make(k):
+            @jax.jit
+            def loop(s):
+                def body(c, _):
+                    def one(off):
+                        return jax.vmap(
+                            lambda si, sj: jax.lax.dynamic_slice(
+                                gpacked, (si, sj), (wi, wj)
+                            ),
+                            out_axes=2,
+                        )(c[:, 0] + off, c[:, 1] + off)
+                    acc = 0.0
+                    for b in range(nblocks):
+                        w = one(jnp.int32(b))
+                        acc = acc + jnp.nansum(w[0, 0])
+                    return c + jnp.int32(1) * jnp.int32(acc == jnp.inf), None
+                c, _ = jax.lax.scan(body, s, None, length=k)
+                return c[0, 0]
+            return loop
+        return make
+
+    t_f = slope(fetch_loop(gwi, gwj, 1), starts)
+    rows.append({"stage": f"F per-path window fetch ({gwi}x{gwj}xP once)",
+                 "t_ms": round(t_f * 1e3, 3),
+                 "ns_per_elem": round(t_f / (gwi * gwj * P) * 1e9, 3)})
+    print(json.dumps(rows[-1]), flush=True)
+
+    bwi = bwj = 48
+    t_g = slope(fetch_loop(bwi, bwj, 7), starts)
+    rows.append({"stage": f"G per-block fetch (7 x {bwi}x{bwj}xP)",
+                 "t_ms": round(t_g * 1e3, 3),
+                 "ns_per_elem": round(t_g / (7 * bwi * bwj * P) * 1e9, 3)})
     print(json.dumps(rows[-1]), flush=True)
 
 

@@ -407,6 +407,25 @@ class TestGroupedPaths:
             state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
             jnp.asarray(fp), gw, conservative, translate_only,
         )
+        # block-window mode: per-(path, segment-block) windows run the same
+        # exact world-coordinate comparisons against a different fetched
+        # region — verdicts and areas are bit-identical; the masked score
+        # SUM may differ in the last ulp (different accumulation order over
+        # a different window shape)
+        bw = fp_ops.path_block_window(fp, pos3, m.resolution, identity)
+        grouped_b = fp_ops.check_polygonal_paths_grouped(
+            state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+            jnp.asarray(fp), gw, conservative, translate_only, block_window=bw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(grouped[0]), np.asarray(grouped_b[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped[1]), np.asarray(grouped_b[1]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(grouped[2]), np.asarray(grouped_b[2])
+        )
         window = fp_ops.polygon_window_cells(
             fp, 0.35, m.resolution, conservative, identity_orientation=identity
         )

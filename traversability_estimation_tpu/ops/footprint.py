@@ -941,6 +941,52 @@ def path_group_window(
     return (cells(ex + r), cells(ey + r))
 
 
+def path_block_window(
+    footprint: np.ndarray,
+    positions: np.ndarray,
+    resolution: float,
+    identity_orientation: bool = False,
+    seg_block: int = _SEG_BLOCK,
+) -> Tuple[int, int]:
+    """Static PER-SEGMENT-BLOCK raster window for the grouped evaluator's
+    block-window mode: covers every consecutive-footprint hull of any
+    ``seg_block`` consecutive segments (block pose-bbox half extent +
+    footprint reach), bucketed to multiples of 4.
+
+    A block of 8 segments spans ~8 pose steps instead of the whole path, so
+    its window is much smaller than ``path_group_window``'s — the span
+    evaluator's work scales with window area, which is what makes the
+    rotated (general) case fast. Conservative sweeps need no extra margin
+    (same argument as path_group_window).
+
+    positions: (P, N, >=2) the actual pose batch (padded poses must repeat
+    the last valid pose — they only shrink the bbox).
+    """
+    fp = np.asarray(footprint, np.float64)
+    pos = np.asarray(positions, np.float64)[..., :2]
+    P, N = pos.shape[:2]
+    S = max(N - 1, 1)
+    ex = ey = 0.0
+    for b0 in range(0, S, seg_block):
+        # block b covers segments [b0, b0+SB) -> poses [b0, b0+SB]
+        sl = pos[:, b0 : min(b0 + seg_block, S) + 1]
+        e = sl.max(axis=1) - sl.min(axis=1)  # (P, 2)
+        ex = max(ex, float(e[:, 0].max()) / 2)
+        ey = max(ey, float(e[:, 1].max()) / 2)
+
+    def cells(reach):
+        c = 2 * int(math.ceil(reach / resolution)) + 3
+        return ((c + 3) // 4) * 4
+
+    if identity_orientation:
+        return (
+            cells(ex + float(np.abs(fp[:, 0]).max())),
+            cells(ey + float(np.abs(fp[:, 1]).max())),
+        )
+    r = float(np.max(np.linalg.norm(fp, axis=1)))
+    return (cells(ex + r), cells(ey + r))
+
+
 def check_polygonal_paths_grouped(
     state: QueryState,
     positions: Array,
@@ -950,6 +996,7 @@ def check_polygonal_paths_grouped(
     window: Tuple[int, int],
     conservative: bool = False,
     translate_only: bool = False,
+    block_window: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Array, Array, Array]:
     """checkPolygonalFootprintPath (TraversabilityMap.cpp:464-584), grouped
     per PATH — the fast formulation for planner batches with short segments.
@@ -989,15 +1036,16 @@ def check_polygonal_paths_grouped(
     n_poses = jnp.asarray(n_poses, jnp.int32)
     H, W = state.shape
     res = state.resolution
-    gwi, gwj = window
-    ghalf_i, ghalf_j = gwi // 2, gwj // 2
-    gpad = max(gwi, gwj)
-    n_bits = max(1, math.ceil(math.log2(gwi + 1)))
+    use_blocks = block_window is not None
+    wi, wj = block_window if use_blocks else window
+    half_i, half_j = wi // 2, wj // 2
+    gpad = max(wi, wj)
+    n_bits = max(1, math.ceil(math.log2(wi + 1)))
     default = jnp.float32(state.default_traversability)
 
     polys = transform_footprint(footprint, positions, quaternions)  # (P,N,V,2)
 
-    # --- one packed window per path ------------------------------------
+    # --- packed query plane + window machinery --------------------------
     tv_eff = jnp.where(
         jnp.isfinite(state.traversability),
         state.traversability,
@@ -1008,39 +1056,44 @@ def check_polygonal_paths_grouped(
         gpad,
         constant_values=jnp.inf,
     )
-    anchors = 0.5 * (
-        jnp.max(positions[..., :2], axis=1) + jnp.min(positions[..., :2], axis=1)
-    )
-    aidx = _index_of(state, anchors)
-    start_i = jnp.clip(aidx[:, 0] - ghalf_i + gpad, 0, H + 2 * gpad - gwi)
-    start_j = jnp.clip(aidx[:, 1] - ghalf_j + gpad, 0, W + 2 * gpad - gwj)
-    win = jax.vmap(
-        lambda si, sj: jax.lax.dynamic_slice(gpacked, (si, sj), (gwi, gwj)),
-        out_axes=2,
-    )(start_i, start_j)  # (gwi, gwj, P), batch minor for full-lane layouts
-    # materialize: without the barrier XLA fuses the gather into the segment
-    # scan body and re-fetches the window EVERY step (measured 40x slower)
-    win = jax.lax.optimization_barrier(win)
-    gi0 = (start_i - gpad).astype(jnp.float32)  # (P,)
-    gjT = (start_j[None, :] - gpad) + jnp.arange(gwj, dtype=jnp.int32)[:, None]
     p0 = _origin_offset(state)
-    pyT = p0[1] - (gjT.astype(jnp.float32) + 0.5) * res  # (gwj, P)
-    irow = jnp.arange(gwi, dtype=jnp.int32)[:, None, None, None]
-    neg = win == -jnp.inf
-    fin = jnp.isfinite(win)
-    winz = jnp.where(fin, win, 0.0)
+    irow = jnp.arange(wi, dtype=jnp.int32)[:, None, None, None]
 
-    def px_at(i_f32):  # float row index (within window) -> exact grid px
-        return p0[0] - ((gi0 + i_f32).astype(jnp.float32) + 0.5) * res
+    def fetch_window(anchors):
+        """(P, 2) anchors -> ((wi, wj, P) window, (P,) gi0, (wj, P) pyT)."""
+        aidx = _index_of(state, anchors)
+        start_i = jnp.clip(aidx[:, 0] - half_i + gpad, 0, H + 2 * gpad - wi)
+        start_j = jnp.clip(aidx[:, 1] - half_j + gpad, 0, W + 2 * gpad - wj)
+        win = jax.vmap(
+            lambda si, sj: jax.lax.dynamic_slice(gpacked, (si, sj), (wi, wj)),
+            out_axes=2,
+        )(start_i, start_j)  # batch minor for full-lane layouts
+        gi0 = (start_i - gpad).astype(jnp.float32)
+        gjT = (start_j[None, :] - gpad) + jnp.arange(wj, dtype=jnp.int32)[:, None]
+        pyT = p0[1] - (gjT.astype(jnp.float32) + 0.5) * res  # (wj, P)
+        return win, gi0, pyT
 
-    def seg_block(h_blk):
+    def planes_of(win):
+        neg = win == -jnp.inf
+        fin = jnp.isfinite(win)
+        winz = jnp.where(fin, win, 0.0)
+        return neg, fin, winz
+
+    def seg_block(h_blk, planes, gi0, pyT):
         """(fail, n, sum) for a block of convex rings per path.
 
         h_blk: (P, SB, Mb, 2) — vertex rings closed by wrap at Mb; padding
         must duplicate real vertices (zero-length edges never straddle a
         horizontal line, so they contribute nothing).
+        planes/gi0/pyT: the (wi, wj, P) window context the block reduces
+        against (per path, or per (path, block) in block-window mode).
         Returns three (SB, P) arrays.
         """
+        neg, fin, winz = planes
+
+        def px_at(i_f32):  # float row index (within window) -> exact grid px
+            return p0[0] - ((gi0 + i_f32).astype(jnp.float32) + 0.5) * res
+
         SB, Mb = h_blk.shape[1], h_blk.shape[2]
         E = SB * Mb
         hb = h_blk.reshape(P, E, 2)
@@ -1056,24 +1109,24 @@ def check_polygonal_paths_grouped(
         d_abs = denom * s
         cond = (yiT[:, None, :] > pyT[None, :, :]) != (
             yjT[:, None, :] > pyT[None, :, :]
-        )  # (E, gwj, P)
+        )  # (E, wj, P)
         rhs = ((xjT - xiT)[:, None, :] * (pyT[None, :, :] - yiT[:, None, :])) * s[
             :, None, :
         ]
-        lo = jnp.zeros((E, gwj, P), jnp.int32)
-        hi = jnp.full((E, gwj, P), gwi, jnp.int32)
+        lo = jnp.zeros((E, wj, P), jnp.int32)
+        hi = jnp.full((E, wj, P), wi, jnp.int32)
         for _ in range(n_bits):
             mid = (lo + hi) // 2
             pxm = px_at(mid.astype(jnp.float32))
             comp = (pxm - xiT[:, None, :]) * d_abs[:, None, :] < rhs
             lo = jnp.where(comp, lo, mid + 1)
             hi = jnp.where(comp, mid, hi)
-        big = jnp.int32(gwi + 1)
-        ne = lo.reshape(SB, Mb, gwj, P)
-        conds = cond.reshape(SB, Mb, gwj, P)
-        lo_i = jnp.min(jnp.where(conds, ne, big), axis=1)  # (SB, gwj, P)
+        big = jnp.int32(wi + 1)
+        ne = lo.reshape(SB, Mb, wj, P)
+        conds = cond.reshape(SB, Mb, wj, P)
+        lo_i = jnp.min(jnp.where(conds, ne, big), axis=1)  # (SB, wj, P)
         hi_i = jnp.max(jnp.where(conds, ne, -1), axis=1)
-        inside = (irow >= lo_i[None]) & (irow < hi_i[None])  # (gwi,SB,gwj,P)
+        inside = (irow >= lo_i[None]) & (irow < hi_i[None])  # (wi,SB,wj,P)
         fail = jnp.any(inside & neg[:, None], axis=(0, 2))
         n = jnp.sum(inside & fin[:, None], axis=(0, 2))
         sm = jnp.sum(jnp.where(inside, winz[:, None], 0.0), axis=(0, 2))
@@ -1086,9 +1139,27 @@ def check_polygonal_paths_grouped(
         )
         return ok, trav
 
+    if not use_blocks:
+        # one window per PATH, fetched once, reused by every segment block
+        anchors = 0.5 * (
+            jnp.max(positions[..., :2], axis=1)
+            + jnp.min(positions[..., :2], axis=1)
+        )
+        win, gi0, pyT = fetch_window(anchors)
+        # materialize: without the barrier XLA fuses the gather into the
+        # segment scan body and re-fetches the window EVERY step (measured
+        # 40x slower)
+        win = jax.lax.optimization_barrier(win)
+        planes = planes_of(win)
+
     # --- single-pose: the (convex) footprint polygon at pose 0 ----------
     h0 = jnp.broadcast_to(polys[:, 0:1], (P, _SEG_BLOCK, V, 2))
-    f0, n0, s0 = seg_block(h0)
+    if use_blocks:
+        a0 = 0.5 * (jnp.max(polys[:, 0], axis=1) + jnp.min(polys[:, 0], axis=1))
+        win0, gi00, pyT0 = fetch_window(a0)
+        f0, n0, s0 = seg_block(h0, planes_of(win0), gi00, pyT0)
+    else:
+        f0, n0, s0 = seg_block(h0, planes, gi0, pyT)
     ok1, trav1 = block_verdict(f0[0], n0[0], s0[0])
     area1 = jax.vmap(polygon_area, in_axes=(0, None))(polys[:, 0], V)
 
@@ -1132,9 +1203,24 @@ def check_polygonal_paths_grouped(
     blocks = jnp.moveaxis(
         hpad.reshape(P, Sp // _SEG_BLOCK, _SEG_BLOCK, Mh, 2), 1, 0
     )
-    _, (fail, n, sm) = jax.lax.scan(
-        lambda c, hb: (c, seg_block(hb)), 0, blocks
-    )
+    if use_blocks:
+        # per-(path, block) windows anchored at each block's hull bbox
+        # center; the static (wi, wj) from path_block_window covers every
+        # block by construction
+        banch = 0.5 * (
+            jnp.max(blocks, axis=(2, 3)) + jnp.min(blocks, axis=(2, 3))
+        )  # (B, P, 2)
+
+        def body(c, xs):
+            hb, anc = xs
+            winb, gib, pyb = fetch_window(anc)
+            return c, seg_block(hb, planes_of(winb), gib, pyb)
+
+        _, (fail, n, sm) = jax.lax.scan(body, 0, (blocks, banch))
+    else:
+        _, (fail, n, sm) = jax.lax.scan(
+            lambda c, hb: (c, seg_block(hb, planes, gi0, pyT)), 0, blocks
+        )
     fail = fail.reshape(Sp, P)[:S].T  # (P, S)
     n = n.reshape(Sp, P)[:S].T
     sm = sm.reshape(Sp, P)[:S].T
