@@ -137,7 +137,13 @@ def main(argv=None):
 
     vpu = roofline.measure_vpu_f32_flops()
     vpu_ops = vpu / 2.0
-    log(f"measured VPU: {vpu/1e12:.2f} TFLOP/s -> {vpu_ops/1e12:.2f} Tops/s")
+    bool_ops = roofline.measure_vpu_bool_ops()
+    log(f"measured VPU: {vpu/1e12:.2f} TFLOP/s -> {vpu_ops/1e12:.2f} f32 Tops/s; "
+        f"bool/mask {bool_ops/1e12:.2f} Tops/s ({bool_ops/vpu_ops:.2f}x f32 rate)")
+    print(json.dumps({"stage": "peaks", "vpu_f32_ops_per_s": vpu_ops,
+                      "bool_ops_per_s": bool_ops,
+                      "bool_to_f32_ratio": round(bool_ops / vpu_ops, 3)}),
+          flush=True)
 
     model = roofline.update_op_estimate(ccfg, vcfg)["breakdown"]
     # the model's veto_counts entry covers slope (+roughness when on); the

@@ -76,6 +76,38 @@ def measure_vpu_f32_flops(k1: int = 16, k2: int = 64) -> float:
     return 2.0 * a.size * 256 * (k2 - k1) / max(t2 - t1, 1e-9)
 
 
+def measure_vpu_bool_ops(k1: int = 16, k2: int = 64) -> float:
+    """Measured boolean/mask op throughput [ops/s]: K x 256 chained
+    xor/and/or ops on bool planes. The update kernels are mask-heavy (the
+    step-gap walk is ~60% i1 ops); if masks issue faster than the FMA rate,
+    a model that prices every logical op at FMA cost overstates the compute
+    bound — the source of the r02 'achieved 116% of SoL' (VERDICT weak #3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+
+    rng = np_.random.default_rng(0)
+    a = jnp.asarray(rng.random((2048, 2048)) < 0.5)
+    b = jnp.asarray(rng.random((2048, 2048)) < 0.5)
+
+    def make(k):
+        @jax.jit
+        def loop(x):
+            def body(c, _):
+                for _ in range(128):
+                    c = (c ^ a) | b
+                return c, None
+
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return c[0, 0]
+
+        return loop
+
+    t1 = _timed_min(make(k1), a)
+    t2 = _timed_min(make(k2), a)
+    return a.size * 256 * (k2 - k1) / max(t2 - t1, 1e-9)
+
+
 def measure_hbm_bw(k1: int = 8, k2: int = 40) -> float:
     """Measured HBM read+write bandwidth [B/s]: chained multiplies on a
     256 MB array (not collapsible without float reassociation), slope of two
