@@ -1,0 +1,94 @@
+"""One-process runner for every real-chip measurement job.
+
+On this rig each python process that touches the TPU claims the single
+tunnel session, and a fresh session's FIRST remote compile can wedge for
+many minutes (docs/DESIGN.md §5). Once the first compile completes,
+subsequent compiles flow normally — so the economical pattern is ONE
+process that pays the wedge once and then runs every measurement job
+back-to-back:
+
+  python scripts/chip_session.py [profile] [calibrate] [bench_extra] [...]
+
+Default (no args) = all jobs. Each job writes its usual artifact; failures
+in one job don't stop the next.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+if _SCRIPTS not in sys.path:
+    sys.path.append(_SCRIPTS)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    jobs = sys.argv[1:] or ["warm", "profile", "calibrate", "bench_extra"]
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # pay the first-compile wedge up front on a trivial program
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.time()
+    log(f"devices: {jax.devices()}")
+    np.asarray(jax.jit(lambda x: x * 2.0 + 1.0)(jnp.ones((8, 8))))
+    log(f"first compile through: {time.time()-t0:.1f}s")
+
+    for job in jobs:
+        t0 = time.time()
+        log(f"=== job: {job} ===")
+        try:
+            if job == "warm":
+                continue
+            elif job == "profile":
+                import profile_grouped
+
+                out = os.path.join("/tmp", "prof_grouped.json")
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    profile_grouped.main([])
+                with open(out, "w") as f:
+                    f.write(buf.getvalue())
+                log(buf.getvalue())
+            elif job == "calibrate":
+                import calibrate_sol
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    calibrate_sol.main([])
+                with open("/tmp/calib_sol.json", "w") as f:
+                    f.write(buf.getvalue())
+                log(buf.getvalue())
+            elif job == "bench_extra":
+                import collect_bench_extra
+
+                collect_bench_extra.main([])
+            else:
+                log(f"unknown job {job!r}")
+        except Exception as e:  # noqa: BLE001 — keep running the other jobs
+            log(f"job {job} FAILED: {type(e).__name__}: {e}")
+        log(f"=== job {job} done in {time.time()-t0:.1f}s ===")
+
+
+if __name__ == "__main__":
+    main()
