@@ -1031,12 +1031,14 @@ def _polygonal_paths_jit(
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _polygonal_paths_grouped_jit(
-    state, pos3, quats, n_poses, footprint, window, conservative, translate_only
+    state, pos3, quats, n_poses, footprint, window, conservative,
+    translate_only, block_window=None,
 ):
     return fp_ops.check_polygonal_paths_grouped(
-        state, pos3, quats, n_poses, footprint, window, conservative, translate_only
+        state, pos3, quats, n_poses, footprint, window, conservative,
+        translate_only, block_window,
     )
 
 
@@ -1062,7 +1064,17 @@ def _dispatch_polygonal(
     ext = pos3[..., :2].max(axis=1) - pos3[..., :2].min(axis=1)  # (P, 2)
     gw = fp_ops.path_group_window(fp, ext, resolution, identity)
     B = pos3.shape[0]
-    grouped = convex and gw[0] * gw[1] * B <= _GROUPED_ELEMS_CAP
+    # block-window mode: per-(path, 8-segment-block) windows — pays one
+    # fetch per block instead of one per path, but the span evaluator's
+    # work scales with window AREA, so it wins when blocks span much less
+    # than the path (long paths / rotated orientations). Adopt when it
+    # shrinks the window area by >25%.
+    bw = fp_ops.path_block_window(fp, pos3, resolution, identity)
+    use_blocks = (
+        pos3.shape[1] > 2 and bw[0] * bw[1] < 0.75 * gw[0] * gw[1]
+    )
+    eff_w = bw if use_blocks else gw
+    grouped = convex and eff_w[0] * eff_w[1] * B <= _GROUPED_ELEMS_CAP
     if stats_out is not None:
         stats_out.update(
             evaluator="grouped" if grouped else "per_segment",
@@ -1073,7 +1085,8 @@ def _dispatch_polygonal(
             paths=int(B),
             translate_only=bool(translate_only),
             group_window=(int(gw[0]), int(gw[1])),
-            group_window_elems=int(gw[0] * gw[1] * B),
+            block_window=(int(bw[0]), int(bw[1])) if use_blocks else None,
+            group_window_elems=int(eff_w[0] * eff_w[1] * B),
         )
     if grouped:
         return _polygonal_paths_grouped_jit(
@@ -1085,6 +1098,7 @@ def _dispatch_polygonal(
             gw,
             bool(conservative),
             translate_only,
+            bw if use_blocks else None,
         )
     seg = np.linalg.norm(np.diff(pos3[..., :2], axis=1), axis=-1)
     seg_max = float(seg.max()) if seg.size else 0.0
