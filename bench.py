@@ -345,7 +345,6 @@ def main():
     gwindow_rot = fp_ops.path_group_window(
         footprint, ext, res, identity_orientation=False
     )
-
     def make_poly_rot_loop(k):
         @jax.jit
         def loop(p):

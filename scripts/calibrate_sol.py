@@ -80,9 +80,9 @@ def main(argv=None):
     # iterations stay data-dependent)
     normals = F.surface_normals(elev, res, ccfg.normals_radius)
     nz = normals["surface_normal_z"]
-    slope_l = F.slope_from_normals(nz, ccfg.slope_critical)
+    slope_l = F.slope_from_normals(nz, ccfg.slope_critical_value)
     step_l = F.step_layer(
-        elev, res, ccfg.step_critical, ccfg.step_first_window_radius,
+        elev, res, ccfg.step_critical_value, ccfg.step_first_window_radius,
         ccfg.step_second_window_radius, ccfg.step_critical_cell_number,
     )
     jax.block_until_ready((slope_l, step_l))
@@ -121,10 +121,10 @@ def main(argv=None):
             "surface_normal_z"
         ],
         "slope": lambda c: F.slope_from_normals(
-            nz + 0.0 * c[0, 0], ccfg.slope_critical
+            nz + 0.0 * c[0, 0], ccfg.slope_critical_value
         ),
         "step": lambda c: F.step_layer(
-            c, res, ccfg.step_critical, ccfg.step_first_window_radius,
+            c, res, ccfg.step_critical_value, ccfg.step_first_window_radius,
             ccfg.step_second_window_radius, ccfg.step_critical_cell_number,
         ),
         "veto_counts": lambda c: V._count_veto_ok(

@@ -83,6 +83,10 @@ def main():
                 import collect_bench_extra
 
                 collect_bench_extra.main([])
+            elif job == "bench":
+                import bench
+
+                bench.main()
             else:
                 log(f"unknown job {job!r}")
         except Exception as e:  # noqa: BLE001 — keep running the other jobs

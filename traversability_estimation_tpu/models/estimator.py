@@ -1064,14 +1064,20 @@ def _dispatch_polygonal(
     ext = pos3[..., :2].max(axis=1) - pos3[..., :2].min(axis=1)  # (P, 2)
     gw = fp_ops.path_group_window(fp, ext, resolution, identity)
     B = pos3.shape[0]
-    # block-window mode: per-(path, 8-segment-block) windows — pays one
-    # fetch per block instead of one per path, but the span evaluator's
-    # work scales with window AREA, so it wins when blocks span much less
-    # than the path (long paths / rotated orientations). Adopt when it
-    # shrinks the window area by >25%.
+    # block-window mode: per-(path, 8-segment-block) windows. Measured on
+    # the chip (scripts/profile_grouped.py, v5e): per-block fetches cost
+    # ~0.57 ns/elem vs ~0.26 for the one per-path fetch, so blocks LOSE
+    # whenever the per-path window fits the cap (17.5 ms vs 9.8 ms on the
+    # 1024x50 rotated batch) — the window-area saving does not pay for the
+    # extra gather volume. They remain the right middle tier when the
+    # per-path window busts _GROUPED_ELEMS_CAP (long paths): one fetch per
+    # 8-segment block still beats the per-segment evaluator's fetch per
+    # segment.
     bw = fp_ops.path_block_window(fp, pos3, resolution, identity)
     use_blocks = (
-        pos3.shape[1] > 2 and bw[0] * bw[1] < 0.75 * gw[0] * gw[1]
+        pos3.shape[1] > 2
+        and gw[0] * gw[1] * B > _GROUPED_ELEMS_CAP
+        and bw[0] * bw[1] * B <= _GROUPED_ELEMS_CAP
     )
     eff_w = bw if use_blocks else gw
     grouped = convex and eff_w[0] * eff_w[1] * B <= _GROUPED_ELEMS_CAP
