@@ -220,18 +220,25 @@ def main():
     from traversability_estimation_tpu.utils import roofline
 
     vpu_flops = roofline.measure_vpu_f32_flops()
+    bool_rate = roofline.measure_vpu_bool_ops()
     hbm_bw = roofline.measure_hbm_bw()
     log(
         f"measured peaks: VPU f32 {vpu_flops/1e12:.2f} TFLOP/s, "
-        f"HBM {hbm_bw/1e9:.0f} GB/s"
+        f"bool/mask {bool_rate/1e12:.2f} Tops/s "
+        f"({bool_rate/(vpu_flops/2):.2f}x f32 rate), HBM {hbm_bw/1e9:.0f} GB/s"
     )
     upd_counts = roofline.update_op_estimate(ccfg, vcfg)
-    upd_sol = roofline.sol_report(H * W, t_update, upd_counts, vpu_flops, hbm_bw)
+    upd_sol = roofline.sol_report(
+        H * W, t_update, upd_counts, vpu_flops, hbm_bw, bool_rate
+    )
     log(
-        f"update SoL: {upd_counts['ops_per_cell']:.0f} ops/cell, "
+        f"update SoL: {upd_counts['f32_ops_per_cell']:.0f} f32 + "
+        f"{upd_counts['bool_ops_per_cell']:.0f} mask ops/cell, "
         f"{upd_counts['hbm_bytes_per_cell']:.0f} B/cell -> bound "
         f"{max(upd_sol['t_compute_bound_s'], upd_sol['t_memory_bound_s'])*1e3:.3f} ms "
-        f"({upd_sol['binding']}-bound), achieved {upd_sol['pct_sol']:.0f}% of SoL"
+        f"({upd_sol['binding']}-bound), achieved {upd_sol['pct_sol']:.0f}% of the "
+        f"stage-additive bound (>100% = cross-stage CSE the model deliberately "
+        f"ignores; per-stage calibration via scripts/calibrate_sol.py)"
     )
 
     # BASELINE config 2: dense traversability_footprint layer (the reference

@@ -148,28 +148,30 @@ def main(argv=None):
     model = roofline.update_op_estimate(ccfg, vcfg)["breakdown"]
     # the model's veto_counts entry covers slope (+roughness when on); the
     # isolated stage here is ONE count pass
-    model_iso = dict(model)
-    model_iso["veto_counts"] = model["veto_counts"] // (
-        2 if vcfg.check_roughness else 1
-    )
-    name_map = {"veto_step_walk": "veto_step_walk", "veto_counts": "veto_counts"}
+    model_iso = {k: dict(v) for k, v in model.items()}
+    if vcfg.check_roughness:
+        model_iso["veto_counts"]["f32"] //= 2
+        model_iso["veto_counts"]["bool"] //= 2
+
+    def stage_bound(m):
+        return cells * (m["f32"] / vpu_ops + m["bool"] / bool_ops)
 
     results = {}
     total_meas = 0.0
     for name, fn in stages.items():
         t = timed_slope(scan_loop(fn))
-        implied = t * vpu_ops / cells
-        mkey = name_map.get(name, name)
-        m_ops = float(model_iso.get(mkey, 0))
-        t_model = cells * m_ops / vpu_ops
+        implied = t * vpu_ops / cells  # all-f32 ceiling (hardest reading)
+        m = model_iso.get(name, {"f32": 0, "bool": 0})
+        t_model = stage_bound(m)
         row = {
             "stage": name,
             "t_meas_ms": round(t * 1e3, 4),
-            "model_ops_per_cell": m_ops,
+            "model_f32_ops": float(m["f32"]),
+            "model_bool_ops": float(m["bool"]),
             "t_model_bound_ms": round(t_model * 1e3, 4),
             "stage_pct_sol": round(100 * t_model / t, 1) if t_model else None,
-            "implied_ops_ceiling": round(implied, 1),
-            "model_inflated": bool(m_ops > implied + 1),
+            "implied_f32_ops_ceiling": round(implied, 1),
+            "model_inflated": bool(t_model > t * 1.02),
         }
         results[name] = row
         total_meas += t
@@ -180,12 +182,13 @@ def main(argv=None):
             {
                 "stage": "TOTAL(isolated sum)",
                 "t_meas_ms": round(total_meas * 1e3, 4),
-                "model_ops_per_cell": float(sum(model_iso.get(
-                    name_map.get(n, n), 0) for n in stages)),
+                "t_model_bound_ms": round(
+                    sum(stage_bound(m) for m in model_iso.values()) * 1e3, 4
+                ),
                 "note": (
                     "fused update runs faster than the isolated sum "
-                    "(shared elevation reads + overlap); stage rows bound "
-                    "each model term independently"
+                    "(shared elevation reads + cross-stage CSE); stage rows "
+                    "bound each model term independently"
                 ),
             }
         )
