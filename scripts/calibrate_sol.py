@@ -43,7 +43,7 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=336)
+    ap.add_argument("--size", type=int, default=672)  # 4x bench cells: stage times ~4x above tunnel timing jitter
     ap.add_argument("--k1", type=int, default=16)
     ap.add_argument("--k2", type=int, default=48)
     ap.add_argument("--cpu", action="store_true")

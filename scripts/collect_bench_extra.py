@@ -165,7 +165,7 @@ def main(argv=None):
         results += run_inproc(
             "scaling_bench[tpu,1]", scaling_bench.main,
             ["--backend", "tpu", "--sizes", "1", "--tile",
-             "128" if args.quick else "256", "--k1", "2", "--k2", "6"],
+             "128" if args.quick else "256", "--k1", "8", "--k2", "32"],
             capture_stdout=True,
         )
 

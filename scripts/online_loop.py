@@ -48,6 +48,14 @@ def main(argv=None):
         "on the robot each tick (GridMap.recenter); 0 = persistent world map",
     )
     ap.add_argument("--json", default="", help="write a result JSON line here")
+    ap.add_argument(
+        "--no-fused",
+        action="store_true",
+        help="use the unfused per-op path (separate merge/update/query "
+        "dispatches) instead of estimator.online_tick; the fused tick is "
+        "the production online API — one compiled program, one dispatch, "
+        "one result fetch per tick",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -83,20 +91,14 @@ def main(argv=None):
     period = 1.0 / args.rate
     tick = 0
 
+    fused = not args.no_fused
+
     def run_tick(tick_no, measure):
         # robot drives a circle of radius map/4
         theta = 0.15 * tick_no
         cx = args.map_m / 4 * np.cos(theta)
         cy = args.map_m / 4 * np.sin(theta)
         patch, _ = src.sample((cx, cy), (4.0, 4.0))
-        with update_lat.timed() if measure else _null():
-            if roaming:
-                # bounded-memory roam: the fixed-size window follows the
-                # robot; overlap rolls, only new terrain is refreshed
-                est.recenter((cx, cy))
-            est.update_with_submap(patch, (cx, cy))
-            # force true completion (see query note below)
-            np.asarray(est.traversability_map["traversability"][:1, :1])
         # planner queries around the robot
         P, N = args.paths, 10
         starts = np.stack(
@@ -106,12 +108,32 @@ def main(argv=None):
         poses = np.concatenate(
             [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
         ).astype(np.float32)
+        n_poses = np.full((P,), N, np.int32)
+        if fused:
+            # production online API: ONE compiled program per tick (recenter
+            # roll + submap merge + incremental re-filter + query batch),
+            # one dispatch, one small result fetch
+            with update_lat.timed() if measure else _null():
+                out = est.online_tick(
+                    patch, (cx, cy), poses, n_poses, 0.3,
+                    recenter_to=(cx, cy) if roaming else None,
+                )
+            with query_lat.timed() if measure else _null():
+                # host fetch forces true completion: on tunneled dev
+                # transports block_until_ready acks before device execution
+                # finishes
+                safe = np.asarray(out[0])
+            return
+        with update_lat.timed() if measure else _null():
+            if roaming:
+                # bounded-memory roam: the fixed-size window follows the
+                # robot; overlap rolls, only new terrain is refreshed
+                est.recenter((cx, cy))
+            est.update_with_submap(patch, (cx, cy))
+            # force true completion (see query note below)
+            np.asarray(est.traversability_map["traversability"][:1, :1])
         with query_lat.timed() if measure else _null():
-            safe, trav = est.check_circular_paths_batch(
-                poses, np.full((P,), N, np.int32), 0.3
-            )
-            # host fetch forces true completion: on tunneled dev transports
-            # block_until_ready acks before device execution finishes
+            safe, trav = est.check_circular_paths_batch(poses, n_poses, 0.3)
             safe = np.asarray(safe)
 
     # Warmup: run the FULL loop body (update + recenter-if-roaming + query)
@@ -148,6 +170,8 @@ def main(argv=None):
 
         blob = {
             "kind": "online_loop",
+            "fused": fused,  # fused: update_ms = tick dispatch, query_ms =
+            # result fetch (one program); unfused: per-section latency
             "mode": "roaming_window" if roaming else "persistent_map",
             "map_cells": [n, n],
             "target_hz": args.rate,

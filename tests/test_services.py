@@ -178,3 +178,129 @@ def test_polygonal_dispatch_stats(est):
     assert s["reason"] == "non_convex_footprint"
     assert est.polygonal_dispatch_counts["paths_per_segment"] == 4
     assert est.polygonal_dispatch_counts["batches_non_convex_footprint"] == 1
+
+
+class TestOnlineTick:
+    """Fused online tick (estimator.online_tick): one jitted program per
+    tick must be SEMANTICALLY identical to the unfused sequence
+    recenter + update_with_submap + check_circular_paths_batch."""
+
+    RES = 0.05
+
+    def _pair(self, terrain):
+        import copy
+
+        cfg = EstimatorConfig(resolution=self.RES)
+        base = terrain(160, 160, self.RES, seed=91, nan_frac=0.02)
+        a = TraversabilityEstimator(cfg)
+        b = TraversabilityEstimator(copy.deepcopy(cfg))
+        assert a.update(base) and b.update(base)
+        return a, b
+
+    def _workload(self, seed=5):
+        rng = np.random.default_rng(seed)
+        patch = (0.08 * rng.standard_normal((40, 40))).astype(np.float32)
+        patch[rng.random((40, 40)) < 0.02] = np.nan
+        P, N = 8, 4
+        starts = np.stack(
+            [rng.uniform(-0.6, 0.6, P), rng.uniform(-0.6, 0.6, P)], -1
+        )
+        steps = rng.uniform(-0.08, 0.08, (P, N - 1, 2))
+        poses = np.concatenate(
+            [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+        ).astype(np.float32)
+        n = np.full((P,), N, np.int32)
+        return patch, poses, n
+
+    def _check(self, a, b):
+        ta = np.asarray(a.traversability_map["traversability"])
+        tb = np.asarray(b.traversability_map["traversability"])
+        np.testing.assert_allclose(ta, tb, atol=1e-6, equal_nan=True)
+        ma = np.asarray(a.query_state.traversable_mask)
+        mb = np.asarray(b.query_state.traversable_mask)
+        np.testing.assert_array_equal(ma, mb)
+        ea = np.asarray(a.traversability_map["elevation"])
+        eb = np.asarray(b.traversability_map["elevation"])
+        np.testing.assert_allclose(ea, eb, atol=0, equal_nan=True)
+
+    def test_persistent_equivalence(self, terrain):
+        a, b = self._pair(terrain)
+        patch, poses, n = self._workload()
+        center = (0.3, -0.2)
+        res_a = a.online_tick(patch, center, poses, n, 0.2)
+        assert res_a is not None
+        assert b.update_with_submap(patch, center)
+        res_b = b.check_circular_paths_batch(poses, n, 0.2)
+        np.testing.assert_array_equal(np.asarray(res_a[0]), np.asarray(res_b[0]))
+        np.testing.assert_allclose(
+            np.asarray(res_a[1]), np.asarray(res_b[1]), atol=1e-6
+        )
+        self._check(a, b)
+
+    def test_roaming_equivalence(self, terrain):
+        a, b = self._pair(terrain)
+        patch, poses, n = self._workload(seed=6)
+        center = (0.4, 0.25)
+        res_a = a.online_tick(
+            patch, center, poses, n, 0.2, recenter_to=center
+        )
+        assert res_a is not None
+        assert b.recenter(center)
+        assert b.update_with_submap(patch, center)
+        res_b = b.check_circular_paths_batch(poses, n, 0.2)
+        np.testing.assert_array_equal(np.asarray(res_a[0]), np.asarray(res_b[0]))
+        np.testing.assert_allclose(
+            np.asarray(res_a[1]), np.asarray(res_b[1]), atol=1e-6
+        )
+        self._check(a, b)
+        np.testing.assert_allclose(
+            np.asarray(a._position), np.asarray(b._position), atol=0
+        )
+
+    def test_edge_fallback(self, terrain):
+        """A patch too close to the map edge for the fused program's static
+        geometry takes the (equivalent) unfused fallback."""
+        a, b = self._pair(terrain)
+        patch, poses, n = self._workload(seed=7)
+        center = (3.6, 0.0)  # near the +x edge of the 8 m map
+        res_a = a.online_tick(patch, center, poses, n, 0.2)
+        assert res_a is not None
+        assert b.update_with_submap(patch, center)
+        res_b = b.check_circular_paths_batch(poses, n, 0.2)
+        np.testing.assert_array_equal(np.asarray(res_a[0]), np.asarray(res_b[0]))
+        self._check(a, b)
+
+
+def test_polygonal_dispatch_block_window_tier(est, monkeypatch):
+    """Block windows are the MIDDLE dispatch tier only: chip profiling
+    measured per-block fetches at ~2.2x the per-elem cost of one per-path
+    fetch, so blocks must NOT be adopted while the per-path window fits the
+    elems cap — only when the path window busts it but blocks still fit
+    (scripts/profile_grouped.py, docs/DESIGN.md §3)."""
+    from traversability_estimation_tpu.models import estimator as est_mod
+
+    rect = np.array(
+        [[0.06, 0.04], [0.06, -0.04], [-0.06, -0.04], [-0.06, 0.04]], np.float32
+    )
+    # long path: per-path window much larger than per-8-segment-block window
+    poses = np.zeros((2, 33, 3), np.float32)
+    poses[:, :, 0] = np.linspace(0.0, 1.2, 33)[None, :]
+    quats = np.zeros((2, 33, 4), np.float32)
+    quats[..., 3] = 1.0
+    n = np.full((2,), 33, np.int32)
+
+    # default cap: per-path window fits -> grouped WITHOUT blocks
+    est.check_polygonal_paths_batch(poses, quats, n, rect)
+    s = est.last_polygonal_dispatch
+    assert s["evaluator"] == "grouped" and s["block_window"] is None
+
+    # cap squeezed between the path-window and block-window footprints ->
+    # the block tier engages (still grouped, not per-segment)
+    gw = s["group_window"]
+    path_elems = gw[0] * gw[1] * 2
+    monkeypatch.setattr(est_mod, "_GROUPED_ELEMS_CAP", path_elems - 1)
+    est.check_polygonal_paths_batch(poses, quats, n, rect)
+    s = est.last_polygonal_dispatch
+    assert s["evaluator"] == "grouped" and s["block_window"] is not None
+    bw = s["block_window"]
+    assert bw[0] * bw[1] < gw[0] * gw[1]

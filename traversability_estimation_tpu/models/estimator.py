@@ -312,6 +312,146 @@ class TraversabilityEstimator:
             return None
         return si0, si1, sj0, sj1
 
+    def online_tick(
+        self,
+        patch: np.ndarray,
+        center_xy,
+        poses: np.ndarray,
+        n_poses: np.ndarray,
+        radius: float,
+        recenter_to=None,
+    ):
+        """One fused online tick (BASELINE config 4's production API):
+        [optional recenter +] submap merge + incremental traversability
+        refresh + batched circular path checks in ONE jitted program — a
+        single device dispatch and a single small (safe, trav) result per
+        tick, with all region starts traced so the program compiles once.
+
+        Semantically identical to ``recenter(recenter_to)`` +
+        ``update_with_submap(patch, center_xy)`` +
+        ``check_circular_paths_batch(poses, n_poses, radius)`` (tested);
+        falls back to exactly that sequence when the merge region runs too
+        close to a map edge for the fused program's static geometry.
+        Returns (safe, trav) as device arrays (np.asarray to force the
+        fetch), or the fallback's results.
+        """
+        if self._elevation is None or not self.initialized or self._map is None:
+            ok = True
+            if recenter_to is not None:
+                ok = self.recenter(recenter_to) and ok
+            ok = self.update_with_submap(patch, center_xy) and ok
+            if not ok:
+                return None
+            return self.check_circular_paths_batch(poses, n_poses, radius)
+
+        from traversability_estimation_tpu.parallel.sharding import required_halo
+
+        res = self.config.chain.resolution
+        H, W = self._elevation.shape
+        patch = np.asarray(patch, np.float32)
+        ph, pw = patch.shape
+        pos = np.asarray(self._position, np.float64)
+
+        shift = np.zeros((2,), np.int64)
+        if recenter_to is not None:
+            target = np.asarray(recenter_to, np.float64)
+            shift = np.round((target - pos) / res).astype(np.int64)
+        snapped = (pos + shift.astype(np.float64) * res).astype(np.float32)
+
+        half = np.array([H, W]) * res / 2.0
+        i0 = int(
+            np.floor((snapped[0] + half[0] - (center_xy[0] + ph * res / 2)) / res)
+        )
+        j0 = int(
+            np.floor((snapped[1] + half[1] - (center_xy[1] + pw * res / 2)) / res)
+        )
+        halo = required_halo(self.config.chain, self.config.veto)
+        # fused geometry: write region = merge + halo, crop = write + halo,
+        # all shapes static. Needs 2*halo of interior margin around the patch.
+        if not (
+            i0 >= 2 * halo and j0 >= 2 * halo
+            and i0 + ph + 2 * halo <= H and j0 + pw + 2 * halo <= W
+        ) or (self.config.use_generic_chain and self.config.filter_specs):
+            ok = True
+            if recenter_to is not None:
+                ok = self.recenter(recenter_to) and ok
+            ok = self.update_with_submap(patch, center_xy) and ok
+            if not ok:
+                return None
+            return self.check_circular_paths_batch(poses, n_poses, radius)
+
+        crop_shape = (ph + 4 * halo, pw + 4 * halo)
+        inner = (halo, halo + ph + 2 * halo, halo, halo + pw + 2 * halo)
+        write_start = np.array([i0 - halo, j0 - halo], np.int32)
+        crop_start = np.array([i0 - 2 * halo, j0 - 2 * halo], np.int32)
+
+        # query crop: pose bbox + spiral reach, bucketed to 256s for a
+        # stable compiled shape (clamped inside the map)
+        offset = self.config.footprint.circular_footprint_offset
+        poses_np = np.asarray(poses, np.float32)
+        flat = poses_np.reshape(-1, 2)
+        margin = radius + offset + 3 * res
+        p0 = snapped.astype(np.float64) + half
+        qi_lo = max(int(np.floor((p0[0] - (flat[:, 0].max() + margin)) / res)), 0)
+        qi_hi = min(int(np.floor((p0[0] - (flat[:, 0].min() - margin)) / res)) + 1, H)
+        qj_lo = max(int(np.floor((p0[1] - (flat[:, 1].max() + margin)) / res)), 0)
+        qj_hi = min(int(np.floor((p0[1] - (flat[:, 1].min() - margin)) / res)) + 1, W)
+        if qi_hi <= qi_lo or qj_hi <= qj_lo:
+            qi_lo, qj_lo, qi_hi, qj_hi = 0, 0, min(64, H), min(64, W)
+        hc = min(((qi_hi - qi_lo + 255) // 256) * 256, H)
+        wc = min(((qj_hi - qj_lo + 255) // 256) * 256, W)
+        qi_lo = min(qi_lo, H - hc)
+        qj_lo = min(qj_lo, W - wc)
+        qpos = np.array(
+            [p0[0] - (qi_lo + hc / 2.0) * res, p0[1] - (qj_lo + wc / 2.0) * res],
+            np.float32,
+        )
+
+        n_poses_np = np.asarray(n_poses, np.int32)
+        max_cells = self._max_segment_cells(poses_np, n_poses_np)
+        has_single = bool(np.any(n_poses_np <= 1))
+
+        elev2, new_layers, extra2, safe, trav = _online_tick_jit(
+            self._elevation,
+            dict(self._map.layers),
+            dict(getattr(self, "_extra_layers", {}) or {}),
+            jnp.asarray(patch),
+            jnp.asarray(shift, jnp.int32),
+            jnp.asarray([i0, j0], jnp.int32),
+            jnp.asarray(crop_start),
+            jnp.asarray(write_start),
+            jnp.asarray([qi_lo, qj_lo], jnp.int32),
+            jnp.asarray(qpos),
+            jnp.asarray(poses_np),
+            jnp.asarray(n_poses_np),
+            chain_cfg=self.config.chain,
+            veto_cfg=self.config.veto,
+            crop_shape=crop_shape,
+            inner=inner,
+            qcrop_shape=(hc, wc),
+            radius=float(radius),
+            offset=float(offset),
+            max_cells=int(max_cells),
+            has_single=has_single,
+            default_trav=float(self._traversability_default),
+            do_roll=recenter_to is not None,
+        )
+        self._elevation = elev2
+        self._extra_layers = extra2
+        self._position = snapped
+        self._map = dataclasses.replace(
+            self._map, layers=new_layers, position=jnp.asarray(snapped)
+        )
+        self._query_state = fp_ops.QueryState(
+            traversability=new_layers["traversability"],
+            traversable_mask=new_layers["traversable_mask"],
+            position=jnp.asarray(snapped),
+            resolution=res,
+            default_traversability=self._traversability_default,
+        )
+        self._field_cache.clear()
+        return safe, trav
+
     # ------------------------------------------------------------------
     # update (computeTraversability)
     # ------------------------------------------------------------------
@@ -969,6 +1109,116 @@ def _update_step(elevation, chain_cfg: chain_ops.ChainConfig, veto_cfg: veto_ops
     layers.update(veto)
     # boolean planes stay for queries; footprint parity layers are float
     return layers
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chain_cfg", "veto_cfg", "crop_shape", "inner", "qcrop_shape",
+        "radius", "offset", "max_cells", "has_single", "default_trav",
+        "do_roll",
+    ),
+)
+def _online_tick_jit(
+    elevation,
+    layers,
+    extra_layers,
+    patch,
+    roll_shift,
+    merge_start,
+    crop_start,
+    write_start,
+    qcrop_start,
+    qpos,
+    poses,
+    n_poses,
+    *,
+    chain_cfg,
+    veto_cfg,
+    crop_shape,
+    inner,
+    qcrop_shape,
+    radius,
+    offset,
+    max_cells,
+    has_single,
+    default_trav,
+    do_roll,
+):
+    """One fused online tick: [recenter roll +] submap merge + incremental
+    region re-filter + query-crop dense circle field + batched circular path
+    checks — ONE compiled program, every region start a traced scalar.
+
+    Why fused: on the online loop (BASELINE config 4) the unfused path pays
+    per-tick host round-trips (block_until_ready + result fetch ~25 ms each
+    on this transport) AND per-tick mini-compiles — eager static-offset
+    slices like ``plane[wi0:wi1]`` re-lower for every distinct offset, and
+    remote compiles cost 0.1-1 s. With traced starts and static SHAPES the
+    jit cache has exactly one entry per (patch shape, query-crop bucket),
+    and a tick is one dispatch + one small (safe, trav) fetch.
+    """
+    res = chain_cfg.resolution
+    if do_roll:
+        rows, cols = elevation.shape
+        si, sj = roll_shift[0], roll_shift[1]
+        ri = jnp.arange(rows, dtype=jnp.int32)[:, None]
+        rj = jnp.arange(cols, dtype=jnp.int32)[None, :]
+        ok = (
+            (ri - si >= 0) & (ri - si < rows)
+            & (rj - sj >= 0) & (rj - sj < cols)
+        )
+
+        def _roll(a):
+            rolled = jnp.roll(a, (si, sj), axis=(0, 1))
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                fill = jnp.array(jnp.nan, a.dtype)
+            elif a.dtype == jnp.bool_:
+                fill = jnp.array(True)  # veto masks: unknown terrain passes
+            else:
+                fill = jnp.array(0, a.dtype)
+            return jnp.where(ok, rolled, fill)
+
+        elevation = _roll(elevation)
+        layers = {k: _roll(v) for k, v in layers.items()}
+        extra_layers = {k: _roll(v) for k, v in extra_layers.items()}
+
+    elev2 = jax.lax.dynamic_update_slice(
+        elevation, patch, (merge_start[0], merge_start[1])
+    )
+    crop = jax.lax.dynamic_slice(
+        elev2, (crop_start[0], crop_start[1]), crop_shape
+    )
+    crop_layers = _update_step(crop, chain_cfg, veto_cfg)
+    wi0, wi1, wj0, wj1 = inner
+    new_layers = dict(layers)
+    for name, plane in crop_layers.items():
+        if name in new_layers:
+            piece = plane[wi0:wi1, wj0:wj1]
+            new_layers[name] = jax.lax.dynamic_update_slice(
+                new_layers[name].astype(piece.dtype),
+                piece,
+                (write_start[0], write_start[1]),
+            )
+    new_layers["elevation"] = elev2
+
+    qtrav = jax.lax.dynamic_slice(
+        new_layers["traversability"], (qcrop_start[0], qcrop_start[1]), qcrop_shape
+    )
+    qmask = jax.lax.dynamic_slice(
+        new_layers["traversable_mask"], (qcrop_start[0], qcrop_start[1]), qcrop_shape
+    )
+    state = fp_ops.QueryState(
+        traversability=qtrav,
+        traversable_mask=qmask,
+        position=qpos,
+        resolution=res,
+        default_traversability=default_trav,
+    )
+    field = fp_ops.dense_circle_field(state, radius + offset, radius)
+    safe, trav = fp_ops.check_circular_paths(
+        state, poses, n_poses, radius, offset, max_cells, field, has_single
+    )
+    return elev2, new_layers, extra_layers, safe, trav
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
