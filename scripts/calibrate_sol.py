@@ -88,18 +88,27 @@ def main(argv=None):
     jax.block_until_ready((slope_l, step_l))
 
     def timed_slope(make_loop):
-        f1, f2 = make_loop(args.k1), make_loop(args.k2)
-        np.asarray(f1(elev))
-        np.asarray(f2(elev))  # compile both
-        t1s, t2s = [], []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        """Two-point slope with adaptive scan lengths: if t(K2)-t(K1) lands
+        inside the transport's timing jitter (fast stages measured literal
+        0.0 ms at K=16/48), quadruple both K until the difference resolves."""
+        k1, k2 = args.k1, args.k2
+        for _ in range(4):
+            f1, f2 = make_loop(k1), make_loop(k2)
             np.asarray(f1(elev))
-            t1s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(f2(elev))
-            t2s.append(time.perf_counter() - t0)
-        return max(min(t2s) - min(t1s), 1e-9) / (args.k2 - args.k1)
+            np.asarray(f2(elev))  # compile both
+            t1s, t2s = [], []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f1(elev))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                np.asarray(f2(elev))
+                t2s.append(time.perf_counter() - t0)
+            diff = min(t2s) - min(t1s)
+            if diff >= 2e-3:
+                break
+            k1, k2 = k1 * 4, k2 * 4
+        return max(diff, 1e-9) / (k2 - k1)
 
     def scan_loop(stage_fn):
         def make(k):
@@ -107,7 +116,11 @@ def main(argv=None):
             def loop(e):
                 def body(c, _):
                     out = stage_fn(c)
-                    return c + 1e-12 * jnp.nan_to_num(out[0, 0]), None
+                    # consume a FULL reduction of the stage output: a
+                    # scalar out[0, 0] dependence lets XLA shrink the whole
+                    # stage to the (0, 0) neighborhood (observed as 0.0 ms
+                    # stage rows); the nansum forces every cell
+                    return c + 1e-12 * jnp.nan_to_num(jnp.nansum(out)), None
 
                 c, _ = jax.lax.scan(body, e, None, length=k)
                 return c[0, 0]

@@ -288,21 +288,25 @@ def dense_circle_field(
         state.traversability,
         state.default_traversability,
     )
+    # ONE packed plane instead of three (fail / pass / value): each spiral
+    # offset's unaligned shift is a vector relayout and dominates the kernel
+    # (docs/DESIGN.md §6), so shifting one plane instead of three cuts the
+    # binding cost ~3x. Encoding (same as the grouped polygonal evaluator's
+    # query plane): failing cell -> -inf, beyond-map / out-of-global cell ->
+    # NaN (contributes nothing to any spiral), else the effective
+    # traversability value — decoded per offset with 2 compares + 1 select,
+    # value bits preserved exactly (accumulation order unchanged, so results
+    # are bit-identical to the 3-plane formulation).
     if in_map is not None:
         fail_plane = fail_plane & in_map
-        in_plane = in_map.astype(jnp.float32)
+        packed = jnp.where(
+            in_map,
+            jnp.where(fail_plane, -jnp.inf, tv),
+            jnp.nan,
+        )
     else:
-        in_plane = jnp.ones((H, W), jnp.float32)
-    pad_fail = jnp.pad(fail_plane, R, constant_values=False)
-    pad_pass = jnp.pad(
-        (~fail_plane).astype(jnp.float32) * in_plane, R, constant_values=0.0
-    )
-    pad_tv = jnp.pad(tv * (~fail_plane) * in_plane, R, constant_values=0.0)
-    # pad_pass/pad_tv are 0 outside the map already; the in-map plane is only
-    # needed for the fail reads, and only when a custom in_map is supplied
-    pad_in = (
-        jnp.pad(in_plane, R, constant_values=0.0) if in_map is not None else None
-    )
+        packed = jnp.where(fail_plane, -jnp.inf, tv)
+    pad_packed = jnp.pad(packed, R, constant_values=jnp.nan)
 
     n_off = len(offs_np)
     n_blk = max(1, -(-n_off // _FIELD_BLOCK))
@@ -321,12 +325,11 @@ def dense_circle_field(
         for k in range(n_active):
             oi = off_b[k, 0] + R
             oj = off_b[k, 1] + R
-            sl = lambda p: jax.lax.dynamic_slice(p, (oi, oj), (H, W))
-            fail_k = sl(pad_fail)
-            if pad_in is not None:
-                fail_k = fail_k & (sl(pad_in) > 0.5)
-            pass_k = sl(pad_pass)
-            tv_k = sl(pad_tv)
+            v_k = jax.lax.dynamic_slice(pad_packed, (oi, oj), (H, W))
+            fail_k = v_k == -jnp.inf
+            is_pass = jnp.isfinite(v_k)  # NaN (out) and -inf (fail) excluded
+            pass_k = is_pass.astype(jnp.float32)
+            tv_k = jnp.where(is_pass, v_k, 0.0)
             new_fail = fail_k & ~found
             r_fail = jnp.where(new_fail, r_b[k], r_fail)
             cnt_b = jnp.where(new_fail, cnt, cnt_b)

@@ -265,8 +265,8 @@ def circle_field_op_estimate(
     n_window = _n_offsets(radius_max, resolution)
     return {
         "ops_per_cell": 4.0 * n_window + 20.0,
-        # read traversability + fail plane; write verdict + value planes
-        "hbm_bytes_per_cell": 4.0 + 1.0 + 1.0 + 4.0,
+        # read the packed query plane; write verdict + value planes
+        "hbm_bytes_per_cell": 4.0 + 1.0 + 4.0,
         "n_offsets": float(n_window),
     }
 
