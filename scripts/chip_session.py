@@ -76,7 +76,9 @@ def main():
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     calibrate_sol.main([])
-                with open("/tmp/calib_sol.json", "w") as f:
+                # committed artifact: per-stage SoL calibration rows backing
+                # the pct_sol claims (README / DESIGN.md §6)
+                with open(os.path.join(_REPO, "CALIB_last.json"), "w") as f:
                     f.write(buf.getvalue())
                 log(buf.getvalue())
             elif job == "bench_extra":

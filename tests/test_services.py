@@ -257,6 +257,42 @@ class TestOnlineTick:
             np.asarray(a._position), np.asarray(b._position), atol=0
         )
 
+    def test_polygonal_equivalence(self, terrain):
+        """footprint= mode: fused tick == update_with_submap +
+        check_polygonal_paths_batch, identity and rotated quats."""
+        rect = np.array(
+            [[0.12, 0.08], [0.12, -0.08], [-0.12, -0.08], [-0.12, 0.08]],
+            np.float32,
+        )
+        for seed, rotate in ((8, False), (9, True)):
+            a, b = self._pair(terrain)
+            patch, poses, n = self._workload(seed=seed)
+            P, N = poses.shape[:2]
+            quats = np.zeros((P, N, 4), np.float32)
+            if rotate:
+                yaw = np.random.default_rng(seed).uniform(0, 2 * np.pi, (P, N))
+                quats[..., 2] = np.sin(yaw / 2).astype(np.float32)
+                quats[..., 3] = np.cos(yaw / 2).astype(np.float32)
+            else:
+                quats[..., 3] = 1.0
+            center = (0.25, -0.15)
+            res_a = a.online_tick(
+                patch, center, poses, n, footprint=rect, quaternions=quats
+            )
+            assert res_a is not None
+            assert b.update_with_submap(patch, center)
+            pos3 = np.concatenate(
+                [poses, np.zeros((P, N, 1), np.float32)], -1
+            )
+            sb, tb, _ = b.check_polygonal_paths_batch(pos3, quats, n, rect)
+            np.testing.assert_array_equal(
+                np.asarray(res_a[0]), np.asarray(sb)
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_a[1]), np.asarray(tb), atol=1e-6
+            )
+            self._check(a, b)
+
     def test_edge_fallback(self, terrain):
         """A patch too close to the map edge for the fused program's static
         geometry takes the (equivalent) unfused fallback."""

@@ -318,31 +318,55 @@ class TraversabilityEstimator:
         center_xy,
         poses: np.ndarray,
         n_poses: np.ndarray,
-        radius: float,
+        radius: Optional[float] = None,
         recenter_to=None,
+        footprint: Optional[np.ndarray] = None,
+        quaternions: Optional[np.ndarray] = None,
     ):
         """One fused online tick (BASELINE config 4's production API):
         [optional recenter +] submap merge + incremental traversability
-        refresh + batched circular path checks in ONE jitted program — a
+        refresh + the tick's batched path checks in ONE jitted program — a
         single device dispatch and a single small (safe, trav) result per
         tick, with all region starts traced so the program compiles once.
 
-        Semantically identical to ``recenter(recenter_to)`` +
-        ``update_with_submap(patch, center_xy)`` +
-        ``check_circular_paths_batch(poses, n_poses, radius)`` (tested);
-        falls back to exactly that sequence when the merge region runs too
-        close to a map edge for the fused program's static geometry.
+        Query type: pass ``radius`` for circular paths, or ``footprint``
+        ((V, 2) CONVEX polygon, optional per-pose ``quaternions``) for
+        polygonal paths through the grouped evaluator. Semantically
+        identical to ``recenter(recenter_to)`` + ``update_with_submap`` +
+        ``check_circular_paths_batch`` / ``check_polygonal_paths_batch``
+        (tested); falls back to exactly that sequence when the merge region
+        runs too close to a map edge for the fused program's static
+        geometry, when the footprint is non-convex, or when the per-path
+        window busts the grouped evaluator's cap.
         Returns (safe, trav) as device arrays (np.asarray to force the
         fetch), or the fallback's results.
         """
-        if self._elevation is None or not self.initialized or self._map is None:
+        if (radius is None) == (footprint is None):
+            raise ValueError("pass exactly one of radius= or footprint=")
+        poses = np.asarray(poses, np.float32)
+        if footprint is not None and quaternions is None:
+            quaternions = np.zeros(poses.shape[:2] + (4,), np.float32)
+            quaternions[..., 3] = 1.0
+
+        def _unfused():
             ok = True
             if recenter_to is not None:
                 ok = self.recenter(recenter_to) and ok
             ok = self.update_with_submap(patch, center_xy) and ok
             if not ok:
                 return None
+            if footprint is not None:
+                pos3 = np.concatenate(
+                    [poses, np.zeros(poses.shape[:2] + (1,), np.float32)], -1
+                )
+                safe, trav, _area = self.check_polygonal_paths_batch(
+                    pos3, quaternions, n_poses, footprint
+                )
+                return safe, trav
             return self.check_circular_paths_batch(poses, n_poses, radius)
+
+        if self._elevation is None or not self.initialized or self._map is None:
+            return _unfused()
 
         from traversability_estimation_tpu.parallel.sharding import required_halo
 
@@ -372,25 +396,42 @@ class TraversabilityEstimator:
             i0 >= 2 * halo and j0 >= 2 * halo
             and i0 + ph + 2 * halo <= H and j0 + pw + 2 * halo <= W
         ) or (self.config.use_generic_chain and self.config.filter_specs):
-            ok = True
-            if recenter_to is not None:
-                ok = self.recenter(recenter_to) and ok
-            ok = self.update_with_submap(patch, center_xy) and ok
-            if not ok:
-                return None
-            return self.check_circular_paths_batch(poses, n_poses, radius)
+            return _unfused()
+
+        # polygonal mode: resolve the grouped evaluator's static dispatch
+        # host-side exactly as _dispatch_polygonal would
+        fp_np = None
+        pwindow = None
+        translate_only = False
+        if footprint is not None:
+            fp_np = np.asarray(footprint, np.float32)
+            quats_np = np.asarray(quaternions, np.float32)
+            identity = bool(
+                np.all(np.abs(quats_np - np.asarray([0, 0, 0, 1])) < 1e-12)
+            )
+            if not fp_ops.is_convex_polygon(fp_np):
+                return _unfused()
+            ext = poses.max(axis=1) - poses.min(axis=1)
+            pwindow = fp_ops.path_group_window(fp_np, ext, res, identity)
+            if pwindow[0] * pwindow[1] * poses.shape[0] > _GROUPED_ELEMS_CAP:
+                return _unfused()
+            translate_only = identity
 
         crop_shape = (ph + 4 * halo, pw + 4 * halo)
         inner = (halo, halo + ph + 2 * halo, halo, halo + pw + 2 * halo)
         write_start = np.array([i0 - halo, j0 - halo], np.int32)
         crop_start = np.array([i0 - 2 * halo, j0 - 2 * halo], np.int32)
 
-        # query crop: pose bbox + spiral reach, bucketed to 256s for a
-        # stable compiled shape (clamped inside the map)
+        # query crop: pose bbox + spiral/footprint reach, bucketed to 256s
+        # for a stable compiled shape (clamped inside the map)
         offset = self.config.footprint.circular_footprint_offset
         poses_np = np.asarray(poses, np.float32)
         flat = poses_np.reshape(-1, 2)
-        margin = radius + offset + 3 * res
+        if footprint is not None:
+            reach = float(np.max(np.linalg.norm(fp_np, axis=1)))
+            margin = reach + 3 * res
+        else:
+            margin = radius + offset + 3 * res
         p0 = snapped.astype(np.float64) + half
         qi_lo = max(int(np.floor((p0[0] - (flat[:, 0].max() + margin)) / res)), 0)
         qi_hi = min(int(np.floor((p0[0] - (flat[:, 0].min() - margin)) / res)) + 1, H)
@@ -408,8 +449,13 @@ class TraversabilityEstimator:
         )
 
         n_poses_np = np.asarray(n_poses, np.int32)
-        max_cells = self._max_segment_cells(poses_np, n_poses_np)
-        has_single = bool(np.any(n_poses_np <= 1))
+        if footprint is None:
+            max_cells = self._max_segment_cells(poses_np, n_poses_np)
+            has_single = bool(np.any(n_poses_np <= 1))
+        else:
+            # circular-mode statics pinned to constants: keeps the polygonal
+            # program's jit key independent of them
+            max_cells, has_single, radius, offset = 4, False, 0.0, 0.0
 
         elev2, new_layers, extra2, safe, trav = _online_tick_jit(
             self._elevation,
@@ -424,6 +470,7 @@ class TraversabilityEstimator:
             jnp.asarray(qpos),
             jnp.asarray(poses_np),
             jnp.asarray(n_poses_np),
+            jnp.asarray(quaternions, jnp.float32) if footprint is not None else None,
             chain_cfg=self.config.chain,
             veto_cfg=self.config.veto,
             crop_shape=crop_shape,
@@ -435,6 +482,11 @@ class TraversabilityEstimator:
             has_single=has_single,
             default_trav=float(self._traversability_default),
             do_roll=recenter_to is not None,
+            footprint=(
+                tuple(map(tuple, fp_np.tolist())) if fp_np is not None else None
+            ),
+            pwindow=pwindow,
+            translate_only=translate_only,
         )
         self._elevation = elev2
         self._extra_layers = extra2
@@ -1116,7 +1168,7 @@ def _update_step(elevation, chain_cfg: chain_ops.ChainConfig, veto_cfg: veto_ops
     static_argnames=(
         "chain_cfg", "veto_cfg", "crop_shape", "inner", "qcrop_shape",
         "radius", "offset", "max_cells", "has_single", "default_trav",
-        "do_roll",
+        "do_roll", "footprint", "pwindow", "translate_only",
     ),
 )
 def _online_tick_jit(
@@ -1132,6 +1184,7 @@ def _online_tick_jit(
     qpos,
     poses,
     n_poses,
+    quats=None,
     *,
     chain_cfg,
     veto_cfg,
@@ -1144,6 +1197,9 @@ def _online_tick_jit(
     has_single,
     default_trav,
     do_roll,
+    footprint=None,
+    pwindow=None,
+    translate_only=False,
 ):
     """One fused online tick: [recenter roll +] submap merge + incremental
     region re-filter + query-crop dense circle field + batched circular path
@@ -1214,10 +1270,21 @@ def _online_tick_jit(
         resolution=res,
         default_traversability=default_trav,
     )
-    field = fp_ops.dense_circle_field(state, radius + offset, radius)
-    safe, trav = fp_ops.check_circular_paths(
-        state, poses, n_poses, radius, offset, max_cells, field, has_single
-    )
+    if footprint is not None:
+        # polygonal tick: grouped evaluator on the query crop (footprint is
+        # a static tuple so windows/translate_only were resolved host-side)
+        fp = jnp.asarray(np.asarray(footprint, np.float32))
+        pos3 = jnp.concatenate(
+            [poses, jnp.zeros(poses.shape[:2] + (1,), poses.dtype)], axis=-1
+        )
+        safe, trav, _area = fp_ops.check_polygonal_paths_grouped(
+            state, pos3, quats, n_poses, fp, pwindow, False, translate_only
+        )
+    else:
+        field = fp_ops.dense_circle_field(state, radius + offset, radius)
+        safe, trav = fp_ops.check_circular_paths(
+            state, poses, n_poses, radius, offset, max_cells, field, has_single
+        )
     return elev2, new_layers, extra_layers, safe, trav
 
 
