@@ -510,6 +510,7 @@ def main():
     }
     last_path = os.path.join(REPO, "BENCH_last.json")
     regressions = []
+    drift = []
     try:
         with open(last_path) as f:
             prev = json.load(f)
@@ -517,14 +518,22 @@ def main():
             if not key.startswith("t_"):
                 continue
             old = prev.get(key)
-            if old and detail[key] > 1.25 * old:
-                regressions.append(
-                    {"kernel": key, "prev_ms": old, "now_ms": detail[key],
-                     "ratio": round(detail[key] / old, 2)}
-                )
+            if not old:
+                continue
+            row = {"kernel": key, "prev_ms": old, "now_ms": detail[key],
+                   "ratio": round(detail[key] / old, 2)}
+            # two tiers: cross-session chip variance up to ~1.4x was measured
+            # on unchanged binaries (docs/DESIGN.md §5), so 1.25-1.5x is a
+            # WARNING (recorded, CI passes) and only >1.5x FAILS the gate
+            if detail[key] > 1.5 * old:
+                regressions.append(row)
+            elif detail[key] > 1.25 * old:
+                drift.append(row)
         if regressions:
             log(f"PERF REGRESSION vs committed BENCH_last.json: {regressions}")
-        else:
+        if drift:
+            log(f"perf drift (within cross-session variance band): {drift}")
+        if not regressions and not drift:
             log("no >25% per-kernel regressions vs committed BENCH_last.json")
     except (OSError, json.JSONDecodeError):
         log("no committed BENCH_last.json — first run records the floor")
@@ -549,6 +558,7 @@ def main():
                     "dense_circle_field": round(fld_sol["pct_sol"], 1),
                 },
                 "regressions_vs_last": regressions,
+                "drift_vs_last": drift,
             }
         )
     )

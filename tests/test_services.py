@@ -264,7 +264,9 @@ class TestOnlineTick:
             [[0.12, 0.08], [0.12, -0.08], [-0.12, -0.08], [-0.12, 0.08]],
             np.float32,
         )
-        for seed, rotate in ((8, False), (9, True)):
+        for seed, rotate, conservative in (
+            (8, False, False), (9, True, False), (10, False, True)
+        ):
             a, b = self._pair(terrain)
             patch, poses, n = self._workload(seed=seed)
             P, N = poses.shape[:2]
@@ -277,14 +279,17 @@ class TestOnlineTick:
                 quats[..., 3] = 1.0
             center = (0.25, -0.15)
             res_a = a.online_tick(
-                patch, center, poses, n, footprint=rect, quaternions=quats
+                patch, center, poses, n, footprint=rect, quaternions=quats,
+                conservative=conservative,
             )
             assert res_a is not None
             assert b.update_with_submap(patch, center)
             pos3 = np.concatenate(
                 [poses, np.zeros((P, N, 1), np.float32)], -1
             )
-            sb, tb, _ = b.check_polygonal_paths_batch(pos3, quats, n, rect)
+            sb, tb, _ = b.check_polygonal_paths_batch(
+                pos3, quats, n, rect, conservative
+            )
             np.testing.assert_array_equal(
                 np.asarray(res_a[0]), np.asarray(sb)
             )

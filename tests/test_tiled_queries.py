@@ -171,3 +171,72 @@ def test_tiled_single_pose_cell_center(setup):
     exp_tv = np.where(exp_ok, tv_r[idx[:, 0], idx[:, 1]], 0.0)
     np.testing.assert_array_equal(np.asarray(safe), exp_ok)
     np.testing.assert_allclose(np.asarray(trav), exp_tv, atol=0)
+
+
+def test_sharded_online_tick_matches_unsharded(setup):
+    """sharded_online_tick (merge + tiled re-filter + tiled field + psum
+    query, one program) must equal the single-device sequence on the same
+    inputs — the multi-chip form of BASELINE config 4."""
+    mesh, _layers, _state, (H, W) = setup
+    from traversability_estimation_tpu.models.estimator import _update_step
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.ops.veto import VetoConfig
+
+    ccfg = ChainConfig(resolution=RES)
+    vcfg = VetoConfig(resolution=RES, check_roughness=False)
+    rng = np.random.default_rng(21)
+    elev = synthetic_terrain(H, W, RES, seed=13, nan_frac=0.03)
+    patch = (0.1 * rng.standard_normal((24, 24))).astype(np.float32)
+    mi, mj = 31, 57  # straddles tile boundaries of the 2x4 mesh
+
+    elev_dev = jax.device_put(
+        jnp.asarray(elev),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x", "y")),
+    )
+    P_, N = 32, 5
+    ex, ey = H * RES / 2, W * RES / 2
+    starts = np.stack(
+        [rng.uniform(-ex, ex, P_), rng.uniform(-ey, ey, P_)], -1
+    )
+    steps = rng.uniform(-0.12, 0.12, (P_, N - 1, 2))
+    poses = np.concatenate(
+        [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+    ).astype(np.float32)
+    n_poses = rng.integers(2, N + 1, P_).astype(np.int32)
+
+    elev2, layers, safe_t, trav_t = sh.sharded_online_tick(
+        elev_dev, jnp.asarray(patch), jnp.asarray([mi, mj], jnp.int32),
+        jnp.asarray(poses), jnp.asarray(n_poses),
+        mesh=mesh, chain_cfg=ccfg, veto_cfg=vcfg, radius=RADIUS,
+        offset=OFFSET, resolution=RES, max_segment_cells=64,
+    )
+
+    # unsharded reference on the merged map
+    merged = np.array(elev)
+    merged[mi : mi + 24, mj : mj + 24] = patch
+    np.testing.assert_array_equal(
+        np.asarray(elev2), merged, err_msg="sharded merge differs"
+    )
+    ref_layers = _update_step(jnp.asarray(merged), ccfg, vcfg)
+    a = np.asarray(layers["traversability"])
+    b = np.asarray(ref_layers["traversability"])
+    # same tolerance as test_sharding: FMA contraction differs between the
+    # tiled and whole-map fusion contexts by <=1 ulp
+    assert (np.isfinite(a) == np.isfinite(b)).all()
+    both = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_allclose(a[both], b[both], atol=3e-7)
+    state = fp_ops.QueryState(
+        traversability=ref_layers["traversability"],
+        traversable_mask=ref_layers["traversable_mask"],
+        position=jnp.zeros((2,), jnp.float32),
+        resolution=RES,
+        default_traversability=0.5,
+    )
+    field = fp_ops.dense_circle_field(state, RADIUS + OFFSET, RADIUS)
+    safe_r, trav_r = fp_ops.check_circular_paths(
+        state, poses, n_poses, RADIUS, OFFSET, 64, field, has_single_pose=False
+    )
+    np.testing.assert_array_equal(np.asarray(safe_t), np.asarray(safe_r))
+    np.testing.assert_allclose(
+        np.asarray(trav_t), np.asarray(trav_r), atol=1e-6
+    )

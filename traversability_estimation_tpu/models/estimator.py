@@ -322,6 +322,7 @@ class TraversabilityEstimator:
         recenter_to=None,
         footprint: Optional[np.ndarray] = None,
         quaternions: Optional[np.ndarray] = None,
+        conservative: bool = False,
     ):
         """One fused online tick (BASELINE config 4's production API):
         [optional recenter +] submap merge + incremental traversability
@@ -360,7 +361,7 @@ class TraversabilityEstimator:
                     [poses, np.zeros(poses.shape[:2] + (1,), np.float32)], -1
                 )
                 safe, trav, _area = self.check_polygonal_paths_batch(
-                    pos3, quaternions, n_poses, footprint
+                    pos3, quaternions, n_poses, footprint, conservative
                 )
                 return safe, trav
             return self.check_circular_paths_batch(poses, n_poses, radius)
@@ -415,7 +416,7 @@ class TraversabilityEstimator:
             pwindow = fp_ops.path_group_window(fp_np, ext, res, identity)
             if pwindow[0] * pwindow[1] * poses.shape[0] > _GROUPED_ELEMS_CAP:
                 return _unfused()
-            translate_only = identity
+            translate_only = identity and not conservative
 
         crop_shape = (ph + 4 * halo, pw + 4 * halo)
         inner = (halo, halo + ph + 2 * halo, halo, halo + pw + 2 * halo)
@@ -487,6 +488,7 @@ class TraversabilityEstimator:
             ),
             pwindow=pwindow,
             translate_only=translate_only,
+            conservative=bool(conservative) if footprint is not None else False,
         )
         self._elevation = elev2
         self._extra_layers = extra2
@@ -1169,6 +1171,7 @@ def _update_step(elevation, chain_cfg: chain_ops.ChainConfig, veto_cfg: veto_ops
         "chain_cfg", "veto_cfg", "crop_shape", "inner", "qcrop_shape",
         "radius", "offset", "max_cells", "has_single", "default_trav",
         "do_roll", "footprint", "pwindow", "translate_only",
+        "conservative",
     ),
 )
 def _online_tick_jit(
@@ -1200,6 +1203,7 @@ def _online_tick_jit(
     footprint=None,
     pwindow=None,
     translate_only=False,
+    conservative=False,
 ):
     """One fused online tick: [recenter roll +] submap merge + incremental
     region re-filter + query-crop dense circle field + batched circular path
@@ -1278,7 +1282,8 @@ def _online_tick_jit(
             [poses, jnp.zeros(poses.shape[:2] + (1,), poses.dtype)], axis=-1
         )
         safe, trav, _area = fp_ops.check_polygonal_paths_grouped(
-            state, pos3, quats, n_poses, fp, pwindow, False, translate_only
+            state, pos3, quats, n_poses, fp, pwindow, conservative,
+            translate_only,
         )
     else:
         field = fp_ops.dense_circle_field(state, radius + offset, radius)

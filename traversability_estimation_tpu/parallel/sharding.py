@@ -585,3 +585,74 @@ def check_polygonal_paths_tiled(
         check_vma=False,
     )
     return fn(trav_full, mask_full, positions, quaternions, n_poses)
+
+
+# ---------------------------------------------------------------------------
+# Sharded online tick (BASELINE config 4 at multi-chip scale)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "chain_cfg", "veto_cfg", "radius", "offset", "resolution",
+        "max_segment_cells", "default_traversability", "orig_shape",
+        "position",
+    ),
+)
+def sharded_online_tick(
+    elevation: Array,
+    patch: Array,
+    merge_start: Array,
+    poses: Array,
+    n_poses: Array,
+    *,
+    mesh: Mesh,
+    chain_cfg: ChainConfig,
+    veto_cfg: VetoConfig,
+    radius: float,
+    offset: float,
+    resolution: float,
+    max_segment_cells: int,
+    default_traversability: float = 0.5,
+    orig_shape: Optional[Tuple[int, int]] = None,
+    position: Tuple[float, float] = (0.0, 0.0),
+):
+    """One online tick on the ('x','y')-SHARDED map — BASELINE config 4's
+    multi-chip form ("50 m map tiled across chips with halo exchange, online
+    updates with incremental submap refresh") as a single compiled program:
+
+    1. merge the (replicated, small) robot submap into the sharded
+       elevation plane (`dynamic_update_slice` with a traced start — the
+       SPMD partitioner scopes the write to the owning tiles);
+    2. tiled full-map re-filter with ppermute halo exchange
+       (``sharded_update``; at multi-chip tile sizes the full re-filter is
+       faster than the single-chip incremental crop, so there is no
+       incremental mode here — per-tile cost IS the incremental unit);
+    3. per-tile dense circle field (``sharded_circle_field``);
+    4. the tick's path batch with psum verdict reduction
+       (``check_circular_paths_tiled``) — no plane is ever replicated.
+
+    Returns (elevation', layers (sharded), safe (P,), trav (P,)). The same
+    code runs on the virtual CPU mesh (tests) and a real slice.
+    """
+    if orig_shape is None:
+        orig_shape = elevation.shape
+    elev2 = jax.lax.dynamic_update_slice(
+        elevation, patch, (merge_start[0], merge_start[1])
+    )
+    elev2 = jax.lax.with_sharding_constraint(
+        elev2, NamedSharding(mesh, P("x", "y"))
+    )
+    layers = sharded_update(
+        elev2, chain_cfg, veto_cfg, mesh, orig_shape=orig_shape
+    )
+    ok_f, tv_f = sharded_circle_field(
+        layers, mesh, radius + offset, radius, resolution,
+        default_traversability, orig_shape,
+    )
+    safe, trav = check_circular_paths_tiled(
+        ok_f, tv_f, poses, n_poses, mesh, position, resolution,
+        max_segment_cells, default_traversability, orig_shape,
+    )
+    return elev2, layers, safe, trav
