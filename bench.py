@@ -174,30 +174,16 @@ def main():
     TUNNEL_RTT = statistics.median(_rtts)
     log(f"transport RTT: {TUNNEL_RTT*1e3:.1f} ms (context only; slope timing)")
 
+    # Adaptive scan lengths: the slope is immune to the RTT's constant
+    # part, but its JITTER (~±2 ms here) still rides on the t(K2)-t(K1)
+    # difference. For sub-0.1 ms kernels at K2-K1=48 the difference is
+    # ~3 ms — same order as the jitter, which is exactly how the r01/r02
+    # dense-layer numbers "drifted" 0.19→0.52 ms between rounds.
+    # Escalate K until the difference dominates the jitter (≥10 ms).
+    from traversability_estimation_tpu.utils.profiling import adaptive_slope
+
     def slope_time(make_loop, arg, k1, k2, reps=3):
-        # Adaptive scan lengths: the slope is immune to the RTT's constant
-        # part, but its JITTER (~±2 ms here) still rides on the t(K2)-t(K1)
-        # difference. For sub-0.1 ms kernels at K2-K1=48 the difference is
-        # ~3 ms — same order as the jitter, which is exactly how the r01/r02
-        # dense-layer numbers "drifted" 0.19→0.52 ms between rounds.
-        # Escalate K until the difference dominates the jitter (≥10 ms).
-        for _ in range(3):
-            f1, f2 = make_loop(k1), make_loop(k2)
-            np.asarray(f1(arg))
-            np.asarray(f2(arg))  # compile + warm both
-            t1s, t2s = [], []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                np.asarray(f1(arg))
-                t1s.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                np.asarray(f2(arg))
-                t2s.append(time.perf_counter() - t0)
-            diff = min(t2s) - min(t1s)
-            if diff >= 10e-3:
-                break
-            k1, k2 = k1 * 4, k2 * 4
-        return max(diff, 1e-9) / (k2 - k1)
+        return adaptive_slope(make_loop, arg, k1, k2, 10e-3, reps, log=log)
 
     elev_dev = jnp.asarray(elev)
     ccfg, vcfg = est.config.chain, est.config.veto
@@ -215,10 +201,23 @@ def main():
                     },
                     vcfg,
                 )
-                nxt = carry + 1e-12 * jnp.nan_to_num(
-                    layers["traversability"][0, 0]
-                )
-                return nxt, veto["traversable_mask"][0, 0]
+                # consume EVERY output the production update writes,
+                # ELEMENTWISE into the plane carry: a scalar [0, 0]
+                # dependence lets XLA shrink stages to one cell's
+                # neighborhood, and consuming only one layer lets it DCE
+                # the other layers' finishing ops — both under-measure the
+                # real update. Full REDUCTIONS per output are wrong in the
+                # other direction (they break the mega-fusion: measured
+                # +50%); the elementwise sum keeps all cells of all
+                # outputs live at ~1% op overhead.
+                acc = jnp.zeros_like(carry)
+                for v in {**layers, **veto}.values():
+                    acc = acc + (
+                        jnp.nan_to_num(v)
+                        if jnp.issubdtype(v.dtype, jnp.floating)
+                        else v.astype(jnp.float32)
+                    )
+                return carry + 1e-12 * acc, None
             eK, _ = jax.lax.scan(body, e, None, length=k)
             return eK[0, 0]
         return loop
@@ -248,8 +247,10 @@ def main():
         f"{upd_counts['hbm_bytes_per_cell']:.0f} B/cell -> bound "
         f"{max(upd_sol['t_compute_bound_s'], upd_sol['t_memory_bound_s'])*1e3:.3f} ms "
         f"({upd_sol['binding']}-bound), achieved {upd_sol['pct_sol']:.0f}% of the "
-        f"stage-additive bound (>100% = cross-stage CSE the model deliberately "
-        f"ignores; per-stage calibration via scripts/calibrate_sol.py)"
+        f"stage-additive bound (measured with EVERY output layer live — "
+        f"earlier >=100% readings measured a DCE-trimmed kernel, "
+        f"docs/DESIGN.md §6; per-stage calibration via "
+        f"scripts/calibrate_sol.py)"
     )
 
     # BASELINE config 2: dense traversability_footprint layer (the reference
@@ -261,8 +262,9 @@ def main():
         @jax.jit
         def loop(t):
             def body(carry, _):
-                # carry perturbation keeps iterations loop-dependent (a f32
-                # multiply by 0 is not foldable: carry could be inf/NaN)
+                # plane carry: perturbation keeps iterations loop-dependent
+                # AND consumes both outputs elementwise (all cells live, no
+                # fusion-breaking reductions)
                 st = fp_ops.QueryState(
                     traversability=state0.traversability + 0.0 * carry,
                     traversable_mask=state0.traversable_mask,
@@ -272,12 +274,12 @@ def main():
                 )
                 ok, tv = fp_ops.dense_polygon_field(st, fp_cfg)
                 layer = jnp.where(ok, tv, 0.0)
-                return carry + 1e-12 * layer[0, 0], layer[0, 0]
+                return carry + 1e-12 * jnp.nan_to_num(layer), None
             c, _ = jax.lax.scan(body, t, None, length=k)
-            return c
+            return c[0, 0]
         return loop
 
-    t_dense = slope_time(make_dense_loop, jnp.float32(0), 8, 24)
+    t_dense = slope_time(make_dense_loop, jnp.zeros((H, W), jnp.float32), 8, 24)
     log(
         f"dense footprint layer (config 2): {t_dense*1e3:.2f} ms for {H*W:,} "
         f"cell-placements -> {H*W/t_dense/1e6:.1f} M placements/s"
@@ -440,12 +442,14 @@ def main():
                     default_traversability=state0.default_traversability,
                 )
                 okf, tvf = fp_ops.dense_circle_field(st, radius + offset, radius)
-                return carry + 1e-12 * tvf[0, 0], okf[0, 0]
+                # plane carry consumes both outputs elementwise (see
+                # make_dense_loop)
+                return carry + 1e-12 * jnp.nan_to_num(tvf) + 1e-13 * okf, None
             c, _ = jax.lax.scan(body, t, None, length=k)
-            return c
+            return c[0, 0]
         return loop
 
-    t_field = slope_time(make_field_loop, jnp.float32(0), 8, 24)
+    t_field = slope_time(make_field_loop, jnp.zeros((H, W), jnp.float32), 8, 24)
     fld_counts = roofline.circle_field_op_estimate(radius + offset, res)
     # the binding floor for the exact-spiral-order field is the per-offset
     # unaligned-shift relayout, not arithmetic (docs/DESIGN.md §7): measure

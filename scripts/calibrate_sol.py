@@ -87,27 +87,16 @@ def main(argv=None):
     jax.block_until_ready((slope_l, step_l))
 
     def timed_slope(make_loop):
-        """Two-point slope with adaptive scan lengths: if t(K2)-t(K1) lands
-        inside the transport's timing jitter (fast stages measured literal
-        0.0 ms at K=16/48), quadruple both K until the difference resolves."""
-        k1, k2 = args.k1, args.k2
-        for _ in range(4):
-            f1, f2 = make_loop(k1), make_loop(k2)
-            np.asarray(f1(elev))
-            np.asarray(f2(elev))  # compile both
-            t1s, t2s = [], []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(f1(elev))
-                t1s.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                np.asarray(f2(elev))
-                t2s.append(time.perf_counter() - t0)
-            diff = min(t2s) - min(t1s)
-            if diff >= 2e-3:
-                break
-            k1, k2 = k1 * 4, k2 * 4
-        return max(diff, 1e-9) / (k2 - k1)
+        """Two-point slope with adaptive scan lengths (fast stages measured
+        literal 0.0 ms at K=16/48 against transport jitter); canonical
+        implementation in utils/profiling.adaptive_slope."""
+        from traversability_estimation_tpu.utils.profiling import (
+            adaptive_slope,
+        )
+
+        return adaptive_slope(
+            make_loop, elev, args.k1, args.k2, 2e-3, log=log
+        )
 
     def scan_loop(stage_fn):
         def make(k):
@@ -194,8 +183,13 @@ def main(argv=None):
             {
                 "stage": "TOTAL(isolated sum)",
                 "t_meas_ms": round(total_meas * 1e3, 4),
+                # sum over MEASURED stages only — model_iso also carries
+                # roughness/fusion entries with no isolated timing here
                 "t_model_bound_ms": round(
-                    sum(stage_bound(m) for m in model_iso.values()) * 1e3, 4
+                    sum(
+                        stage_bound(model_iso.get(n, {"f32": 0, "bool": 0}))
+                        for n in stages
+                    ) * 1e3, 4
                 ),
                 "note": (
                     "fused update runs faster than the isolated sum "

@@ -118,6 +118,11 @@ def main(argv=None):
                     patch, (cx, cy), poses, n_poses, 0.3,
                     recenter_to=(cx, cy) if roaming else None,
                 )
+            if out is None:
+                # unfused fallback's update failed (patch entirely off-map)
+                print(f"tick {tick_no}: update failed (patch off-map)",
+                      file=sys.stderr)
+                return
             with query_lat.timed() if measure else _null():
                 # host fetch forces true completion: on tunneled dev
                 # transports block_until_ready acks before device execution

@@ -54,34 +54,15 @@ def log(*a):
 
 
 def _timed_slope(make_loop, arg, k1: int, k2: int) -> float:
-    """Seconds per iteration from the two-point scan-length slope.
+    """Seconds per iteration from the two-point scan-length slope —
+    adaptive-K (the r3 collector measured a 0.0 ms "slope" for the
+    256-tile TPU row with K=2/6 against ~25 ms RTT noise); canonical
+    implementation in utils/profiling.adaptive_slope."""
+    from traversability_estimation_tpu.utils.profiling import adaptive_slope
 
-    Adaptive: if the t(K2)-t(K1) difference lands below the transport's
-    timing jitter (the r3 collector measured a 0.0 ms "slope" for the
-    256-tile TPU row with K=2/6 against ~25 ms RTT noise), quadruple both
-    scan lengths and re-measure until the difference is resolvable."""
-    import numpy as np
-
-    MIN_DIFF_S = 2e-3
-    for _ in range(5):
-        f1, f2 = make_loop(k1), make_loop(k2)
-        np.asarray(f1(arg))
-        np.asarray(f2(arg))  # compile both
-        t1s, t2s = [], []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(f1(arg))
-            t1s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(f2(arg))
-            t2s.append(time.perf_counter() - t0)
-        diff = min(t2s) - min(t1s)
-        if diff >= MIN_DIFF_S:
-            break
-        k1, k2 = k1 * 4, k2 * 4
-        log(f"slope below timing resolution ({diff*1e3:.2f} ms); "
-            f"retrying with K={k1}/{k2}")
-    return max(diff, 1e-9) / (k2 - k1)
+    return adaptive_slope(
+        make_loop, arg, k1, k2, 2e-3, max_escalations=4, log=log
+    )
 
 
 def run_worker(args):

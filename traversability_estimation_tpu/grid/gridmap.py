@@ -182,6 +182,37 @@ class GridMap:
         rows, cols = self.size
         return self.add(layer, jnp.full((rows, cols), jnp.nan, jnp.float32))
 
+    @staticmethod
+    def roll_valid_mask(rows: int, cols: int, si, sj):
+        """(rows, cols) bool: cells that survive a window roll by (si, sj)
+        — False marks cells exposed from outside the old window. jit-safe
+        with traced shifts."""
+        ri = jnp.arange(rows, dtype=jnp.int32)[:, None]
+        rj = jnp.arange(cols, dtype=jnp.int32)[None, :]
+        return (
+            (ri - si >= 0) & (ri - si < rows)
+            & (rj - sj >= 0) & (rj - sj < cols)
+        )
+
+    @staticmethod
+    def roll_layer(a, si, sj, valid):
+        """The grid_map ``move()`` primitive for ONE layer (jit-safe,
+        traced shifts): roll by (si, sj); exposed cells take the per-dtype
+        "unknown" fill — NaN for floats (grid_map parity), True for bool
+        veto masks (unknown terrain passes, NaN != 0 comparisons in
+        ops/veto.py), 0 otherwise. The ONLY implementation of this fill
+        policy — ``GridMap.recenter`` and the fused online tick
+        (models/estimator._online_tick_jit) both call it, so fused/unfused
+        roaming equivalence holds by construction."""
+        rolled = jnp.roll(a, (si, sj), axis=(0, 1))
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            fill = jnp.array(jnp.nan, a.dtype)
+        elif a.dtype == jnp.bool_:
+            fill = jnp.array(True)
+        else:
+            fill = jnp.array(0, a.dtype)
+        return jnp.where(valid, rolled, fill)
+
     def with_position(self, position) -> "GridMap":
         return dataclasses.replace(
             self, position=jnp.asarray(position, dtype=jnp.float32)
@@ -204,25 +235,10 @@ class GridMap:
         # world point p: index_new = index_old + shift (index math above), so
         # new[i] = old[i - shift] -> roll by +shift with out-of-range NaN
         si, sj = shift[0], shift[1]
-        ri = jnp.arange(rows, dtype=jnp.int32)[:, None]
-        rj = jnp.arange(cols, dtype=jnp.int32)[None, :]
-        valid = (
-            (ri - si >= 0) & (ri - si < rows) & (rj - sj >= 0) & (rj - sj < cols)
-        )
-
-        def shift_layer(a):
-            rolled = jnp.roll(a, (si, sj), axis=(0, 1))
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                fill = jnp.nan  # grid_map parity: exposed cells are unknown
-            elif a.dtype == jnp.bool_:
-                # bool layers here are veto masks where unknown terrain
-                # passes (NaN != 0 comparisons, ops/veto.py) — fill True
-                fill = True
-            else:
-                fill = 0
-            return jnp.where(valid, rolled, jnp.array(fill, a.dtype))
-
-        new_layers = {k: shift_layer(v) for k, v in self.layers.items()}
+        valid = self.roll_valid_mask(rows, cols, si, sj)
+        new_layers = {
+            k: self.roll_layer(v, si, sj, valid) for k, v in self.layers.items()
+        }
         return dataclasses.replace(self, layers=new_layers, position=snapped)
 
     def get_submap(self, position, length) -> Tuple["GridMap", bool]:

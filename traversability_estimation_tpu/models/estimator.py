@@ -67,6 +67,39 @@ class TraversabilityResult:
     untraversable_polygon: Optional[np.ndarray] = None
 
 
+def _pose_crop_geometry(flat_xy, margin, H, W, res, p0, bucket):
+    """Bucketed pose-bbox query-crop geometry, shared by
+    ``_cropped_state_and_field`` (bucket 512) and ``online_tick``
+    (bucket 256): the crop covers every pose's ``margin`` reach, its shape
+    is rounded up to ``bucket`` multiples (stable jit keys across
+    jittering bounding boxes) and pulled back inside the (H, W) map.
+    Entirely-off-map batches get a minimal corner crop (verdicts come out
+    as the off-map default either way).
+
+    flat_xy: (K, 2) pose positions; p0: map-frame origin corner (float64).
+    Returns (i_lo, j_lo, hc, wc, crop_center_position (2,) f32).
+    """
+    i_lo = max(int(np.floor((p0[0] - (flat_xy[:, 0].max() + margin)) / res)), 0)
+    i_hi = min(
+        int(np.floor((p0[0] - (flat_xy[:, 0].min() - margin)) / res)) + 1, H
+    )
+    j_lo = max(int(np.floor((p0[1] - (flat_xy[:, 1].max() + margin)) / res)), 0)
+    j_hi = min(
+        int(np.floor((p0[1] - (flat_xy[:, 1].min() - margin)) / res)) + 1, W
+    )
+    if i_hi <= i_lo or j_hi <= j_lo:
+        i_lo, j_lo, i_hi, j_hi = 0, 0, min(64, H), min(64, W)
+    hc = min(((i_hi - i_lo + bucket - 1) // bucket) * bucket, H)
+    wc = min(((j_hi - j_lo + bucket - 1) // bucket) * bucket, W)
+    i_lo = min(i_lo, H - hc)
+    j_lo = min(j_lo, W - wc)
+    qpos = np.array(
+        [p0[0] - (i_lo + hc / 2.0) * res, p0[1] - (j_lo + wc / 2.0) * res],
+        np.float32,
+    )
+    return i_lo, j_lo, hc, wc, qpos
+
+
 class TraversabilityEstimator:
     def __init__(self, config: Optional[EstimatorConfig] = None):
         self.config = config or EstimatorConfig()
@@ -434,19 +467,8 @@ class TraversabilityEstimator:
         else:
             margin = radius + offset + 3 * res
         p0 = snapped.astype(np.float64) + half
-        qi_lo = max(int(np.floor((p0[0] - (flat[:, 0].max() + margin)) / res)), 0)
-        qi_hi = min(int(np.floor((p0[0] - (flat[:, 0].min() - margin)) / res)) + 1, H)
-        qj_lo = max(int(np.floor((p0[1] - (flat[:, 1].max() + margin)) / res)), 0)
-        qj_hi = min(int(np.floor((p0[1] - (flat[:, 1].min() - margin)) / res)) + 1, W)
-        if qi_hi <= qi_lo or qj_hi <= qj_lo:
-            qi_lo, qj_lo, qi_hi, qj_hi = 0, 0, min(64, H), min(64, W)
-        hc = min(((qi_hi - qi_lo + 255) // 256) * 256, H)
-        wc = min(((qj_hi - qj_lo + 255) // 256) * 256, W)
-        qi_lo = min(qi_lo, H - hc)
-        qj_lo = min(qj_lo, W - wc)
-        qpos = np.array(
-            [p0[0] - (qi_lo + hc / 2.0) * res, p0[1] - (qj_lo + wc / 2.0) * res],
-            np.float32,
+        qi_lo, qj_lo, hc, wc, qpos = _pose_crop_geometry(
+            flat, margin, H, W, res, p0, bucket=256
         )
 
         n_poses_np = np.asarray(n_poses, np.int32)
@@ -775,22 +797,11 @@ class TraversabilityEstimator:
         margin = radius + offset + 3 * res
         half = np.array([H, W]) * res / 2.0
         p0 = np.asarray(self._position, np.float64) + half
-        i_lo = int(np.floor((p0[0] - (poses[:, 0].max() + margin)) / res))
-        i_hi = int(np.floor((p0[0] - (poses[:, 0].min() - margin)) / res)) + 1
-        j_lo = int(np.floor((p0[1] - (poses[:, 1].max() + margin)) / res))
-        j_hi = int(np.floor((p0[1] - (poses[:, 1].min() - margin)) / res)) + 1
-        i_lo, j_lo = max(i_lo, 0), max(j_lo, 0)
-        i_hi, j_hi = min(i_hi, H), min(j_hi, W)
-        if i_hi <= i_lo or j_hi <= j_lo:
-            # queries entirely off-map: a minimal corner crop (verdicts come
-            # out as the off-map default either way)
-            i_lo, j_lo, i_hi, j_hi = 0, 0, min(64, H), min(64, W)
-        # bucket shape coarsely (512s) so successive query batches with
-        # jittering bounding boxes reuse one compiled crop shape
-        hc = min(((i_hi - i_lo + 511) // 512) * 512, H)
-        wc = min(((j_hi - j_lo + 511) // 512) * 512, W)
-        i_lo = min(i_lo, H - hc)
-        j_lo = min(j_lo, W - wc)
+        # bucket coarsely (512s) so successive query batches with jittering
+        # bounding boxes reuse one compiled crop shape
+        i_lo, j_lo, hc, wc, pos_crop = _pose_crop_geometry(
+            poses, margin, H, W, res, p0, bucket=512
+        )
 
         key = ("crop", float(radius), float(offset), i_lo, j_lo, hc, wc)
         if key not in self._field_cache:
@@ -799,17 +810,10 @@ class TraversabilityEstimator:
             mask = jax.lax.dynamic_slice(
                 full.traversable_mask, (i_lo, j_lo), (hc, wc)
             )
-            pos_crop = jnp.asarray(
-                [
-                    p0[0] - (i_lo + hc / 2.0) * res,
-                    p0[1] - (j_lo + wc / 2.0) * res,
-                ],
-                jnp.float32,
-            )
             state = fp_ops.QueryState(
                 traversability=trav,
                 traversable_mask=mask,
-                position=pos_crop,
+                position=jnp.asarray(pos_crop),
                 resolution=res,
                 default_traversability=self._traversability_default,
             )
@@ -1219,24 +1223,14 @@ def _online_tick_jit(
     """
     res = chain_cfg.resolution
     if do_roll:
+        # the roll + per-dtype fill policy is GridMap's, shared so fused
+        # and unfused roaming stay equivalent by construction
         rows, cols = elevation.shape
         si, sj = roll_shift[0], roll_shift[1]
-        ri = jnp.arange(rows, dtype=jnp.int32)[:, None]
-        rj = jnp.arange(cols, dtype=jnp.int32)[None, :]
-        ok = (
-            (ri - si >= 0) & (ri - si < rows)
-            & (rj - sj >= 0) & (rj - sj < cols)
-        )
+        ok = GridMap.roll_valid_mask(rows, cols, si, sj)
 
         def _roll(a):
-            rolled = jnp.roll(a, (si, sj), axis=(0, 1))
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                fill = jnp.array(jnp.nan, a.dtype)
-            elif a.dtype == jnp.bool_:
-                fill = jnp.array(True)  # veto masks: unknown terrain passes
-            else:
-                fill = jnp.array(0, a.dtype)
-            return jnp.where(ok, rolled, fill)
+            return GridMap.roll_layer(a, si, sj, ok)
 
         elevation = _roll(elevation)
         layers = {k: _roll(v) for k, v in layers.items()}

@@ -22,6 +22,7 @@ padding repeats the first hull vertex (safe for crossing tests and shoelace).
 
 from __future__ import annotations
 
+
 from typing import Tuple
 
 import jax
@@ -130,11 +131,20 @@ def convex_hull(points: Array, n_valid) -> Tuple[Array, Array]:
         has_out[:, None], succ1.astype(jnp.float32), start1[None, :]
     )  # (M, M) row-stochastic 0/1
 
+    # precision: TPU matmuls default to bf16 operands. The 0/1 walk matmuls
+    # (o @ E, O @ start1) are EXACT in bf16 and keep the default; the
+    # vertex EMISSION must keep full f32 coordinate bits (bf16's ~2^-8
+    # relative error is whole cells at 50 m map frame — invisible to CPU
+    # tests), so it is a broadcast multiply-reduce on the VPU instead of a
+    # dot (exact, and cheaper than a Precision.HIGHEST 3-pass matmul at
+    # these tiny shapes — that variant measured +0.6 ms on the 50k-hull
+    # batch).
     def step(o, _):
         return o @ E, o
 
     _, O = jax.lax.scan(step, start1, None, length=M)  # (M steps, M)
-    hull = O @ points  # (M, 2) walk vertices, cycles after n_hull
+    # (M steps, M) one-hot rows x (M, 2) points -> (M, 2) walk vertices
+    hull = jnp.sum(O[:, :, None] * points[None, :, :], axis=1)
     # n_hull: first return to start after step 0
     back = (O @ start1 > 0.5) & (jnp.arange(M) > 0)
     n_hull = jnp.where(jnp.any(back), jnp.argmax(back), jnp.int32(M))

@@ -635,6 +635,12 @@ def sharded_online_tick(
 
     Returns (elevation', layers (sharded), safe (P,), trav (P,)). The same
     code runs on the virtual CPU mesh (tests) and a real slice.
+
+    Caller contract: the patch must lie fully inside the (padded) map —
+    ``dynamic_update_slice`` CLAMPS out-of-range starts, which would
+    silently shift the write region instead of clipping it (the single-chip
+    ``estimator.online_tick`` guards this host-side and clips via its
+    fallback; do the same before calling here).
     """
     if orig_shape is None:
         orig_shape = elevation.shape

@@ -95,3 +95,55 @@ def chained_device_time(fn, x, iters: int = 16, rtt: float = 0.0):
     t0 = time.perf_counter()
     np.asarray(loop(x))
     return max(time.perf_counter() - t0 - rtt, 0.0) / iters
+
+
+def adaptive_slope(
+    make_loop,
+    arg,
+    k1: int,
+    k2: int,
+    min_diff_s: float = 10e-3,
+    reps: int = 3,
+    max_escalations: int = 3,
+    log=None,
+) -> float:
+    """Seconds per iteration from the two-point scan-length slope, with
+    ADAPTIVE scan lengths — the one canonical implementation (bench.py,
+    scripts/calibrate_sol.py and scripts/scaling_bench.py all use it).
+
+    The slope cancels a transport RTT's constant part but its jitter
+    (~±2 ms on this rig) rides on the t(K2)-t(K1) difference, so the
+    difference must dominate the jitter: if it lands under ``min_diff_s``,
+    both K quadruple and the measurement repeats. The returned slope always
+    divides by the K gap THAT WAS MEASURED (an earlier version quadrupled
+    K once more on fall-through and divided the last measured difference by
+    a 4x-too-large gap, underreporting 4x).
+    """
+    import time as _time
+
+    import numpy as _np
+
+    diff, gap = 1e-9, k2 - k1
+    for attempt in range(max_escalations + 1):
+        f1, f2 = make_loop(k1), make_loop(k2)
+        _np.asarray(f1(arg))
+        _np.asarray(f2(arg))  # compile + warm both
+        t1s, t2s = [], []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            _np.asarray(f1(arg))
+            t1s.append(_time.perf_counter() - t0)
+            t0 = _time.perf_counter()
+            _np.asarray(f2(arg))
+            t2s.append(_time.perf_counter() - t0)
+        diff = min(t2s) - min(t1s)
+        gap = k2 - k1
+        if diff >= min_diff_s or attempt == max_escalations:
+            break
+        k1, k2 = k1 * 4, k2 * 4
+        if log is not None:
+            log(
+                f"slope below timing resolution ({diff*1e3:.2f} ms); "
+                f"retrying with K={k1}/{k2}"
+            )
+    return max(diff, 1e-9) / gap
