@@ -229,13 +229,16 @@ def main():
     # + analytic op/byte counts -> achieved % of the roofline bound
     from traversability_estimation_tpu.utils import roofline
 
-    vpu_flops = roofline.measure_vpu_f32_flops()
-    bool_rate = roofline.measure_vpu_bool_ops()
-    hbm_bw = roofline.measure_hbm_bw()
+    peaks = roofline.measure_peaks()
+    vpu_flops = peaks["vpu_f32_flops_per_s"]
+    bool_rate = peaks["bool_ops_per_s"]
+    hbm_bw = peaks["hbm_bytes_per_s"]
     log(
-        f"measured peaks: VPU f32 {vpu_flops/1e12:.2f} TFLOP/s, "
+        f"measured peaks: VPU f32 {vpu_flops/1e12:.2f} TFLOP/s "
+        f"(= {peaks['vpu_f32_ops_per_s']/1e12:.2f} Tops/s issue rate), "
         f"bool/mask {bool_rate/1e12:.2f} Tops/s "
-        f"({bool_rate/(vpu_flops/2):.2f}x f32 rate), HBM {hbm_bw/1e9:.0f} GB/s"
+        f"({peaks['bool_to_f32_ratio']:.2f}x f32 issue rate), "
+        f"HBM {hbm_bw/1e9:.0f} GB/s"
     )
     upd_counts = roofline.update_op_estimate(ccfg, vcfg)
     upd_sol = roofline.sol_report(
@@ -511,6 +514,11 @@ def main():
         "pct_sol_map_update": round(upd_sol["pct_sol"], 1),
         "pct_sol_circle_field": round(fld_sol["pct_sol"], 1),
         "transport_rtt_ms": round(TUNNEL_RTT * 1e3, 2),
+        # the SAME peaks block calibrate_sol embeds (roofline.measure_peaks)
+        "peaks": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in peaks.items()
+        },
     }
     last_path = os.path.join(REPO, "BENCH_last.json")
     regressions = []

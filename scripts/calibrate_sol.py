@@ -104,11 +104,16 @@ def main(argv=None):
             def loop(e):
                 def body(c, _):
                     out = stage_fn(c)
-                    # consume a FULL reduction of the stage output: a
-                    # scalar out[0, 0] dependence lets XLA shrink the whole
-                    # stage to the (0, 0) neighborhood (observed as 0.0 ms
-                    # stage rows); the nansum forces every cell
-                    return c + 1e-12 * jnp.nan_to_num(jnp.nansum(out)), None
+                    # consume the stage output ELEMENTWISE into the plane
+                    # carry — same discipline as bench.py's fused-update
+                    # loop. A scalar out[0, 0] dependence lets XLA shrink
+                    # the stage to one cell's neighborhood (observed 0.0 ms
+                    # rows); a full nansum reduction keeps all cells live
+                    # but breaks the stage's fusion into a separate
+                    # reduction pass (+50% measured on the fused update),
+                    # which was inflating the round-3 stage rows (the step
+                    # stage read 10.3% of bound partly for this reason).
+                    return c + 1e-12 * jnp.nan_to_num(out), None
 
                 c, _ = jax.lax.scan(body, e, None, length=k)
                 return c[0, 0]
@@ -136,14 +141,19 @@ def main(argv=None):
         ).astype(jnp.float32),
     }
 
-    vpu = roofline.measure_vpu_f32_flops()
-    vpu_ops = vpu / 2.0
-    bool_ops = roofline.measure_vpu_bool_ops()
-    log(f"measured VPU: {vpu/1e12:.2f} TFLOP/s -> {vpu_ops/1e12:.2f} f32 Tops/s; "
-        f"bool/mask {bool_ops/1e12:.2f} Tops/s ({bool_ops/vpu_ops:.2f}x f32 rate)")
-    print(json.dumps({"stage": "peaks", "vpu_f32_ops_per_s": vpu_ops,
-                      "bool_ops_per_s": bool_ops,
-                      "bool_to_f32_ratio": round(bool_ops / vpu_ops, 3)}),
+    # the SAME peaks block bench.py embeds in BENCH_last.json (VERDICT r3
+    # weak #2: the two artifacts used to carry incommensurable peak numbers —
+    # FLOP/s in one, issue-rate ops/s in the other, neither labeled)
+    peaks = roofline.measure_peaks()
+    vpu_ops = peaks["vpu_f32_ops_per_s"]
+    bool_ops = peaks["bool_ops_per_s"]
+    log(f"measured VPU: {peaks['vpu_f32_flops_per_s']/1e12:.2f} TFLOP/s -> "
+        f"{vpu_ops/1e12:.2f} f32 Tops/s issue rate; "
+        f"bool/mask {bool_ops/1e12:.2f} Tops/s "
+        f"({peaks['bool_to_f32_ratio']:.2f}x f32 issue rate)")
+    print(json.dumps({"stage": "peaks",
+                      **{k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in peaks.items()}}),
           flush=True)
 
     model = roofline.update_op_estimate(ccfg, vcfg)["breakdown"]

@@ -85,3 +85,11 @@ def test_pallas_circle_field_matches_xla(terrain, monkeypatch, radius_min):
     ok_p, tv_p = pf.dense_circle_field_pallas.__wrapped__(state, 0.45, radius_min)
     np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
     np.testing.assert_array_equal(np.asarray(tv_x), np.asarray(tv_p))
+
+
+def test_available_false_on_cpu_backend():
+    # VERDICT r3 weak #6: `available()` used to be `... or True` — a
+    # tautology. The compiled kernel path needs Mosaic (TPU); the CPU test
+    # backend must report unavailable.
+    assert jax.devices()[0].platform == "cpu"
+    assert pc.available() is False

@@ -203,8 +203,12 @@ def fused_update(
 
 
 def available() -> bool:
-    """Whether the current backend can run the fused kernel."""
+    """Whether the current backend can run the fused kernel.
+
+    True only on a real TPU backend: the kernel body uses Mosaic-only
+    primitives (manual HBM->VMEM async copies), which `pallas_call` cannot
+    lower on CPU/GPU backends (interpret mode is not wired up here)."""
     try:
-        return jax.devices()[0].platform in ("tpu",) or True
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
