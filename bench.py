@@ -241,18 +241,32 @@ def main():
         f"HBM {hbm_bw/1e9:.0f} GB/s"
     )
     upd_counts = roofline.update_op_estimate(ccfg, vcfg)
-    upd_sol = roofline.sol_report(
+    # two bounds, both reported (docs/DESIGN.md §6): the pure-op bound
+    # prices shifted-plane reads at zero (the idealized stencil); the
+    # shift-inclusive bound adds the MEASURED per-shift relayout cost
+    # (ABLATE_last.json E1) — a hardware floor static shifts actually pay,
+    # analogous to the circle field's dynamic-shift floor.
+    shift_cost = roofline.measure_static_shift_cost((H, W))
+    upd_sol_ops = roofline.sol_report(
         H * W, t_update, upd_counts, vpu_flops, hbm_bw, bool_rate
+    )
+    upd_sol = roofline.sol_report(
+        H * W, t_update, upd_counts, vpu_flops, hbm_bw, bool_rate,
+        shift_cost_s=shift_cost,
     )
     log(
         f"update SoL: {upd_counts['f32_ops_per_cell']:.0f} f32 + "
-        f"{upd_counts['bool_ops_per_cell']:.0f} mask ops/cell, "
-        f"{upd_counts['hbm_bytes_per_cell']:.0f} B/cell -> bound "
+        f"{upd_counts['bool_ops_per_cell']:.0f} mask ops/cell + "
+        f"{upd_counts['shifted_planes']:.0f} shifted planes "
+        f"({shift_cost*1e6:.2f} us/shift measured), "
+        f"{upd_counts['hbm_bytes_per_cell']:.0f} B/cell -> pure-op bound "
+        f"{max(upd_sol_ops['t_compute_bound_s'], upd_sol_ops['t_memory_bound_s'])*1e3:.3f} ms, "
+        f"shift-inclusive bound "
         f"{max(upd_sol['t_compute_bound_s'], upd_sol['t_memory_bound_s'])*1e3:.3f} ms "
-        f"({upd_sol['binding']}-bound), achieved {upd_sol['pct_sol']:.0f}% of the "
-        f"stage-additive bound (measured with EVERY output layer live — "
-        f"earlier >=100% readings measured a DCE-trimmed kernel, "
-        f"docs/DESIGN.md §6; per-stage calibration via "
+        f"({upd_sol['binding']}-bound) -> achieved "
+        f"{upd_sol_ops['pct_sol']:.0f}% of the pure-op stage-additive bound, "
+        f"{upd_sol['pct_sol']:.0f}% incl. the measured relayout floor "
+        f"(every output layer live; per-stage calibration via "
         f"scripts/calibrate_sol.py)"
     )
 
@@ -512,6 +526,8 @@ def main():
         "baseline_live_checks_per_s": round(baseline_live, 1),
         "baseline_pinned_checks_per_s": round(baseline, 1) if pinned else None,
         "pct_sol_map_update": round(upd_sol["pct_sol"], 1),
+        "pct_sol_map_update_pure_op": round(upd_sol_ops["pct_sol"], 1),
+        "shift_cost_us": round(shift_cost * 1e6, 3),
         "pct_sol_circle_field": round(fld_sol["pct_sol"], 1),
         "transport_rtt_ms": round(TUNNEL_RTT * 1e3, 2),
         # the SAME peaks block calibrate_sol embeds (roofline.measure_peaks)
@@ -567,6 +583,7 @@ def main():
                 ),
                 "pct_sol": {
                     "map_update": round(upd_sol["pct_sol"], 1),
+                    "map_update_pure_op": round(upd_sol_ops["pct_sol"], 1),
                     "dense_circle_field": round(fld_sol["pct_sol"], 1),
                 },
                 "regressions_vs_last": regressions,

@@ -133,6 +133,10 @@ def main(argv=None):
             c, res, ccfg.step_critical_value, ccfg.step_first_window_radius,
             ccfg.step_second_window_radius, ccfg.step_critical_cell_number,
         ),
+        "roughness": lambda c: F.roughness_layer(
+            c, {k: v + 0.0 * c[0, 0] for k, v in normals.items()}, res,
+            ccfg.roughness_critical_value, ccfg.roughness_estimation_radius,
+        ),
         "veto_counts": lambda c: V._count_veto_ok(
             slope_l + 0.0 * c[0, 0], res, vcfg.slope_n_critical
         ).astype(jnp.float32),
@@ -156,31 +160,47 @@ def main(argv=None):
                          for k, v in peaks.items()}}),
           flush=True)
 
+    # per-shift relayout cost at this size (3rd model class; ABLATE E1)
+    shift_cost = roofline.measure_static_shift_cost((H, W))
+    log(f"static shift cost at {H}^2: {shift_cost*1e6:.3f} us/shifted plane")
+    print(json.dumps({"stage": "shift_cost",
+                      "us_per_shifted_plane": round(shift_cost * 1e6, 4),
+                      "size": H}), flush=True)
+
     model = roofline.update_op_estimate(ccfg, vcfg)["breakdown"]
     # the model's veto_counts entry covers slope (+roughness when on); the
     # isolated stage here is ONE count pass
     model_iso = {k: dict(v) for k, v in model.items()}
     if vcfg.check_roughness:
-        model_iso["veto_counts"]["f32"] //= 2
-        model_iso["veto_counts"]["bool"] //= 2
+        for key in ("f32", "bool", "shifts"):
+            model_iso["veto_counts"][key] //= 2
 
-    def stage_bound(m):
-        return cells * (m["f32"] / vpu_ops + m["bool"] / bool_ops)
+    def stage_bound(m, with_shifts=True):
+        t = cells * (m["f32"] / vpu_ops + m["bool"] / bool_ops)
+        if with_shifts:
+            t += m.get("shifts", 0) * shift_cost
+        return t
 
     results = {}
     total_meas = 0.0
     for name, fn in stages.items():
         t = timed_slope(scan_loop(fn))
         implied = t * vpu_ops / cells  # all-f32 ceiling (hardest reading)
-        m = model_iso.get(name, {"f32": 0, "bool": 0})
+        m = model_iso.get(name, {"f32": 0, "bool": 0, "shifts": 0})
         t_model = stage_bound(m)
+        t_model_ops = stage_bound(m, with_shifts=False)
         row = {
             "stage": name,
             "t_meas_ms": round(t * 1e3, 4),
             "model_f32_ops": float(m["f32"]),
             "model_bool_ops": float(m["bool"]),
+            "model_shifted_planes": float(m.get("shifts", 0)),
             "t_model_bound_ms": round(t_model * 1e3, 4),
+            "t_model_pure_op_bound_ms": round(t_model_ops * 1e3, 4),
             "stage_pct_sol": round(100 * t_model / t, 1) if t_model else None,
+            "stage_pct_sol_pure_op": (
+                round(100 * t_model_ops / t, 1) if t_model_ops else None
+            ),
             "implied_f32_ops_ceiling": round(implied, 1),
             "model_inflated": bool(t_model > t * 1.02),
         }
@@ -193,18 +213,19 @@ def main(argv=None):
             {
                 "stage": "TOTAL(isolated sum)",
                 "t_meas_ms": round(total_meas * 1e3, 4),
-                # sum over MEASURED stages only — model_iso also carries
-                # roughness/fusion entries with no isolated timing here
                 "t_model_bound_ms": round(
                     sum(
-                        stage_bound(model_iso.get(n, {"f32": 0, "bool": 0}))
+                        stage_bound(
+                            model_iso.get(n, {"f32": 0, "bool": 0, "shifts": 0})
+                        )
                         for n in stages
                     ) * 1e3, 4
                 ),
                 "note": (
-                    "fused update runs faster than the isolated sum "
-                    "(shared elevation reads + cross-stage CSE); stage rows "
-                    "bound each model term independently"
+                    "stage rows bound each model term independently; "
+                    "consumption is the elementwise plane carry (a nansum "
+                    "consumption broke stage fusion and inflated the "
+                    "round-3 rows)"
                 ),
             }
         )

