@@ -246,7 +246,9 @@ def main():
     # shift-inclusive bound adds the MEASURED per-shift relayout cost
     # (ABLATE_last.json E1) — a hardware floor static shifts actually pay,
     # analogous to the circle field's dynamic-shift floor.
-    shift_cost = roofline.measure_static_shift_cost((H, W))
+    shift_cost = roofline.measure_static_shift_cost(
+        (H, W), vpu_f32_ops_per_s=peaks["vpu_f32_ops_per_s"]
+    )
     upd_sol_ops = roofline.sol_report(
         H * W, t_update, upd_counts, vpu_flops, hbm_bw, bool_rate
     )
@@ -525,8 +527,11 @@ def main():
         "poly_rotated_checks_per_s": round(P * N / dt_poly_rot, 1),
         "baseline_live_checks_per_s": round(baseline_live, 1),
         "baseline_pinned_checks_per_s": round(baseline, 1) if pinned else None,
-        "pct_sol_map_update": round(upd_sol["pct_sol"], 1),
-        "pct_sol_map_update_pure_op": round(upd_sol_ops["pct_sol"], 1),
+        # primary = pure-op bound (harder, defensible: shifts amortize in
+        # fused kernels, so the standalone relayout rate overshoots there —
+        # CALIB stage rows with shift pricing exceeded 100%)
+        "pct_sol_map_update": round(upd_sol_ops["pct_sol"], 1),
+        "pct_sol_map_update_shift_incl": round(upd_sol["pct_sol"], 1),
         "shift_cost_us": round(shift_cost * 1e6, 3),
         "pct_sol_circle_field": round(fld_sol["pct_sol"], 1),
         "transport_rtt_ms": round(TUNNEL_RTT * 1e3, 2),
@@ -582,8 +587,8 @@ def main():
                     round(P * N / dt_poly_rot / base_poly, 1) if base_poly else None
                 ),
                 "pct_sol": {
-                    "map_update": round(upd_sol["pct_sol"], 1),
-                    "map_update_pure_op": round(upd_sol_ops["pct_sol"], 1),
+                    "map_update": round(upd_sol_ops["pct_sol"], 1),
+                    "map_update_shift_incl": round(upd_sol["pct_sol"], 1),
                     "dense_circle_field": round(fld_sol["pct_sol"], 1),
                 },
                 "regressions_vs_last": regressions,

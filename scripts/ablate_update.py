@@ -426,6 +426,91 @@ def main(argv=None):
                 "live": keys, "t_ms": round(t * 1e3, 4),
             })
 
+    # ------------------------------------------------------------------ E7
+    # walk variants: round-3 implementation (separate bool-plane shifts) vs
+    # the packed/bit-packed production rewrite — clean A/B on one chip.
+    if "E7" not in args.skip:
+        def walk_old(elevation, step_l_in):
+            el = elevation.astype(jnp.float32)
+            step0 = step_l_in == 0.0
+            crit = jnp.float32(vcfg.critical_step_height)
+            in_map = jnp.ones(el.shape, dtype=bool)
+            dirs = V._ray_directions(vcfg)
+            ray_fail = []
+            for di, dj, K in dirs:
+                h = el
+                nb_elev = _shifted(el, di, dj, jnp.nan)
+                nb_in = _shifted(in_map, di, dj, False)
+                nb_step0 = _shifted(step0, di, dj, False)
+                trigger = nb_in & nb_step0 & (nb_elev < h - crit)
+                gap_started = jnp.zeros(el.shape, dtype=bool)
+                ended = jnp.zeros(el.shape, dtype=bool)
+                wall_fail = jnp.zeros(el.shape, dtype=bool)
+                any_gap = jnp.zeros(el.shape, dtype=bool)
+                for t in range(1, K + 1):
+                    e_t = _shifted(el, di * t, dj * t, jnp.nan)
+                    t_in = _shifted(in_map, di * t, dj * t, False)
+                    active = t_in
+                    wall_t = active & (e_t > h + crit)
+                    gap_t = active & (
+                        (e_t < h - crit) | ~jnp.isfinite(e_t)
+                    )
+                    mid_t = active & ~wall_t & ~gap_t
+                    end_t = mid_t & gap_started & ~ended
+                    wall_fail = wall_fail | (wall_t & ~ended)
+                    any_gap = any_gap | (gap_t & ~ended)
+                    gap_started = gap_started | gap_t
+                    ended = ended | end_t
+                unclosed = any_gap & ~ended
+                ray_fail.append(trigger & (wall_fail | unclosed))
+            ray_fail_any = jnp.stack(ray_fail, axis=0)
+            cand_offs = circle_offsets(2.5 * res, res)
+            has_cand = jnp.zeros(el.shape, dtype=bool)
+            fail_from_cand = jnp.zeros(el.shape, dtype=bool)
+            import math as _m
+
+            for o in cand_offs.tolist():
+                oi, oj = int(o[0]), int(o[1])
+                c_elev = _shifted(el, oi, oj, jnp.nan)
+                c_in = _shifted(in_map, oi, oj, False)
+                c_step0 = _shifted(step0, oi, oj, False)
+                active = c_in & c_step0 & (c_elev > el + crit)
+                has_cand = has_cand | active
+                small = _m.hypot(oi, oj) * res <= 0.025
+                fail_d = jnp.zeros(el.shape, dtype=bool)
+                for d_idx, (di, dj, _) in enumerate(dirs):
+                    if not small and (oi * di + oj * dj) > 0:
+                        continue
+                    fail_d = fail_d | _shifted(
+                        ray_fail_any[d_idx], oi, oj, False
+                    )
+                fail_from_cand = fail_from_cand | (active & fail_d)
+            fail_self = jnp.zeros(el.shape, dtype=bool)
+            for d_idx in range(len(dirs)):
+                fail_self = fail_self | ray_fail_any[d_idx]
+            fail = step0 & (
+                (has_cand & fail_from_cand) | (~has_cand & fail_self)
+            )
+            return ~fail
+
+        wv = {
+            "production": lambda c: V.step_veto_ok(
+                c, step_l + 0.0 * c[0, 0], vcfg
+            ).astype(jnp.float32),
+            "round3": lambda c: walk_old(
+                c, step_l + 0.0 * c[0, 0]
+            ).astype(jnp.float32),
+        }
+        ref_w = np.asarray(V.step_veto_ok(elev, step_l, vcfg))
+        got_w = np.asarray(walk_old(elev, step_l))
+        for name, fn in wv.items():
+            t = slope(plane_loop(fn), elev)
+            emit({
+                "exp": "E7_walk_variant", "size": args.size, "variant": name,
+                "t_ms": round(t * 1e3, 4),
+                "agree": bool(np.array_equal(got_w, ref_w)),
+            })
+
     # ------------------------------------------------------------------ E6
     # Fused vs optimization_barrier placements vs two separate programs.
     if "E6" not in args.skip:

@@ -161,7 +161,9 @@ def main(argv=None):
           flush=True)
 
     # per-shift relayout cost at this size (3rd model class; ABLATE E1)
-    shift_cost = roofline.measure_static_shift_cost((H, W))
+    shift_cost = roofline.measure_static_shift_cost(
+        (H, W), vpu_f32_ops_per_s=vpu_ops
+    )
     log(f"static shift cost at {H}^2: {shift_cost*1e6:.3f} us/shifted plane")
     print(json.dumps({"stage": "shift_cost",
                       "us_per_shifted_plane": round(shift_cost * 1e6, 4),

@@ -68,6 +68,43 @@ def main():
                 with open(out, "w") as f:
                     f.write(buf.getvalue())
                 log(buf.getvalue())
+            elif job == "pallas_smoke":
+                # the Pallas fused kernel reuses ops/veto compute inside its
+                # Mosaic body — confirm the (non-production) kernel still
+                # lowers + matches XLA after veto/step rewrites
+                import jax.numpy as jnp
+                import numpy as np_
+
+                from traversability_estimation_tpu.ops import (
+                    filters as F,
+                    pallas_chain as PC,
+                    veto as V,
+                )
+
+                rng = np_.random.default_rng(5)
+                el = (0.1 * rng.standard_normal((128, 128))).astype(np_.float32)
+                el[rng.random((128, 128)) < 0.05] = np_.nan
+                ccfg = F.ChainConfig(resolution=0.03)
+                vcfg = V.VetoConfig(resolution=0.03, check_roughness=False)
+                got = PC.fused_update(jnp.asarray(el), ccfg, vcfg)
+                ref_l = F.run_chain_jit(jnp.asarray(el), ccfg)
+                ref_v = V.compute_veto_fields_jit(
+                    {
+                        "elevation": jnp.asarray(el),
+                        "traversability_slope": ref_l["traversability_slope"],
+                        "traversability_step": ref_l["traversability_step"],
+                    },
+                    vcfg,
+                )
+                ok = bool(
+                    np_.array_equal(
+                        np_.asarray(got["traversable_mask"]),
+                        np_.asarray(ref_v["traversable_mask"]),
+                    )
+                )
+                log(f"pallas fused_update mask parity vs XLA: {ok}")
+                if not ok:
+                    raise RuntimeError("pallas parity broke")
             elif job == "ablate":
                 import ablate_update
                 import contextlib

@@ -35,6 +35,13 @@ g.dryrun_multichip(8)
 print("dryrun ok")
 PY
 
+  echo "== scenario artifacts + regression gate (BENCH_extra) =="
+  # regenerates BENCH_extra.json and exits 3 if any scenario (achieved Hz,
+  # rollout budget, scaling rows) regressed >1.5x vs the committed artifact
+  # (VERDICT r3 weak #7). NOTE: claims the TPU session; runs before bench so
+  # the two chip processes are sequential, each paying one session claim.
+  python scripts/collect_bench_extra.py --gate
+
   echo "== real-chip bench + per-kernel regression gate =="
   python bench.py > /tmp/ci_bench.json
   python - <<'PY'

@@ -121,6 +121,9 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu-only", action="store_true",
                     help="skip real-chip scenarios (plumbing check)")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 3 when a scenario regresses >1.5x vs the "
+                    "committed artifact (the ci.sh --nightly mode)")
     args = ap.parse_args(argv)
 
     tmp = tempfile.mktemp(suffix=".json")
@@ -156,10 +159,33 @@ def main(argv=None):
              "--json", tmp],
             json_path=tmp,
         )
+        # headroom rows (VERDICT r3 weak #3): free-run = max sustainable Hz
+        # with the pipelined fetch; the polygonal variant sweeps the
+        # reference footprint rectangle through the grouped evaluator
+        results += run_inproc(
+            "online_loop[max-hz]", online_loop.main,
+            ["--seconds", seconds, "--rate", "0", "--map-m", "50",
+             "--json", tmp],
+            json_path=tmp,
+        )
+        results += run_inproc(
+            "online_loop[polygonal]", online_loop.main,
+            ["--seconds", seconds, "--rate", "10", "--map-m", "50",
+             "--footprint", "--json", tmp],
+            json_path=tmp,
+        )
         results += run_inproc(
             "rollouts[config5]", rollouts_mod.main,
             ["--rollouts", rollouts, "--map-m", map_m, "--steps", "3",
-             "--json", tmp],
+             "--stages", "--json", tmp],
+            json_path=tmp,
+        )
+        # config 5, TPU-native shape: rollouts generated ON DEVICE, only
+        # the best pose + aggregates fetched (VERDICT r3 weak #5)
+        results += run_inproc(
+            "rollouts[device-gen]", rollouts_mod.main,
+            ["--rollouts", rollouts, "--map-m", map_m, "--steps", "3",
+             "--device-gen", "--json", tmp],
             json_path=tmp,
         )
         results += run_inproc(
@@ -180,6 +206,89 @@ def main(argv=None):
          "--tile", "128", "--k1", "2", "--k2", "6"],
         None,
     )
+    # DCN-path shape: 2 real processes, gloo collectives (VERDICT r3 #2b)
+    results += run_cpu_subprocess(
+        [py, "scripts/scaling_bench.py", "--processes", "2",
+         "--local-devices", "4", "--tile", "128", "--k1", "2", "--k2", "6"],
+        None,
+    )
+    # tiled-query cost decomposition across mesh sizes (VERDICT r3 #2c):
+    # separates replicated-raster growth from collective-infrastructure
+    # growth — the attribution behind the scaling_tiled_query rows' note
+    results += run_cpu_subprocess(
+        [py, "scripts/profile_tiled.py", "--sizes", "1", "2", "4", "8"],
+        None,
+    )
+
+    # ---- scenario regression gate (VERDICT r3 weak #7) ------------------
+    # Compare fresh rows against the COMMITTED artifact before overwriting:
+    # the per-kernel gate in bench.py caught kernel drift, but the scenario
+    # numbers (achieved Hz, rollout budget, scaling rows) could regress
+    # silently. Two tiers, like bench.py: >1.25x drift warns, >1.5x fails
+    # (cross-session chip variance up to ~1.4x on unchanged binaries).
+    def _key(e):
+        k = e.get("kind")
+        if k == "online_loop":
+            return (k, e.get("mode"), e.get("query"),
+                    bool(e.get("pipelined_fetch")), bool(e.get("free_run")),
+                    e.get("target_hz"), tuple(e.get("map_cells", [])),
+                    e.get("paths_per_tick"))
+        if k in ("rollouts", "rollouts_device_gen", "rollouts_tiled"):
+            return (k, e.get("backend"), tuple(e.get("map_cells", [])),
+                    e.get("rollouts"), e.get("poses"))
+        if k in ("scaling_update", "scaling_tiled_query"):
+            return (k, e.get("backend"), e.get("mesh"),
+                    tuple(e.get("map", [])))
+        return None
+
+    def _metric(e):
+        """(value, higher_is_better) for the gated quantity of a row."""
+        k = e.get("kind")
+        if k == "online_loop":
+            return (e.get("achieved_hz"), True)
+        if k in ("rollouts", "rollouts_device_gen", "rollouts_tiled"):
+            return (e.get("budget_p50_ms"), False)
+        if k == "scaling_update":
+            return (e.get("cells_per_s"), True)
+        if k == "scaling_tiled_query":
+            return (e.get("checks_per_s"), True)
+        return (None, True)
+
+    regressions, drift = [], []
+    try:
+        with open(args.out) as f:
+            prev_entries = json.load(f).get("entries", [])
+        prev_by_key = {}
+        for e in prev_entries:
+            key = _key(e)
+            if key is not None:
+                prev_by_key[key] = e
+        for e in results:
+            key = _key(e)
+            if key is None or key not in prev_by_key:
+                continue
+            new_v, hib = _metric(e)
+            old_v, _ = _metric(prev_by_key[key])
+            if not new_v or not old_v:
+                continue
+            ratio = (old_v / new_v) if hib else (new_v / old_v)
+            row = {"key": [str(x) for x in key],
+                   "prev": old_v, "now": new_v, "worse_by": round(ratio, 2)}
+            if ratio > 1.5:
+                regressions.append(row)
+            elif ratio > 1.25:
+                drift.append(row)
+    except (OSError, json.JSONDecodeError):
+        log("no committed artifact to gate against (first run)")
+    if regressions:
+        log(f"SCENARIO REGRESSION vs committed {args.out}: {regressions}")
+    if drift:
+        log(f"scenario drift (within variance band): {drift}")
+    results.append({
+        "kind": "regression_check",
+        "regressions": regressions,
+        "drift": drift,
+    })
 
     blob = {
         "schema": "BENCH_extra v2",
@@ -189,6 +298,8 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(blob, f, indent=1)
     print(f"wrote {args.out} ({len(results)} entries)", file=sys.stderr)
+    if regressions and args.gate:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

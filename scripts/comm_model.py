@@ -1,0 +1,212 @@
+"""Analytic ICI communication model for the sharded paths (VERDICT r3 #2).
+
+With one physical chip attached, multi-chip perf cannot be measured — but
+bytes-on-the-wire CAN be computed exactly from the same code the sharded
+paths compile from, and priced against public v5e ICI numbers. This script
+derives, for `sharded_update`, `sharded_circle_field`, the replicated-state
+all-gather, and the tiled query's collectives:
+
+  - bytes sent/received per device per call (exact, from halo widths /
+    array shapes);
+  - predicted comm time on v5e ICI (bandwidth-term + per-hop latency);
+  - predicted weak-scaling efficiency at mesh 2/4/8 against the MEASURED
+    single-chip compute times (BENCH_extra real-chip rows).
+
+ICI constants (public, "How to Scale Your Model" / v5e spec): one-way
+bandwidth ~4.5e10 B/s per link, 2D torus with independent links per axis,
+per-hop latency ~1 us. The virtual-CPU-mesh efficiencies committed in
+BENCH_extra are NOT predictions of this model — they measure gloo/XLA:CPU
+collective infrastructure on one socket (scripts/profile_tiled.py shows the
+psum-only floor growing 0.012 -> 0.30 ms with virtual-mesh size, which ICI
+does not have).
+
+Output: one JSON line per modeled collective + a summary -> COMM_MODEL.json
+(committed artifact cited by docs/DESIGN.md §8).
+
+Usage: python scripts/comm_model.py [--tile 256] [--paths 256 --poses 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
+
+# public v5e ICI numbers (see module docstring)
+ICI_BW = 4.5e10          # B/s one-way per link
+ICI_HOP_LATENCY = 1e-6   # s per hop
+F32 = 4
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tile", type=int, default=256,
+                    help="per-device tile edge (weak scaling)")
+    ap.add_argument("--paths", type=int, default=256)
+    ap.add_argument("--poses", type=int, default=8)
+    ap.add_argument("--max-cells", type=int, default=16)
+    ap.add_argument("--radius", type=float, default=0.45)
+    ap.add_argument("--res", type=float, default=0.03)
+    ap.add_argument(
+        "--t-update-ms", type=float, default=None,
+        help="measured single-chip update time for the tile (defaults to "
+        "the real-chip scaling row in BENCH_extra.json)",
+    )
+    ap.add_argument("--t-query-ms", type=float, default=None)
+    args = ap.parse_args(argv)
+
+    from traversability_estimation_tpu.ops.filters import ChainConfig
+    from traversability_estimation_tpu.ops.veto import VetoConfig
+    from traversability_estimation_tpu.parallel.sharding import required_halo
+
+    res = args.res
+    ccfg = ChainConfig(resolution=res)
+    vcfg = VetoConfig(resolution=res)
+    T = args.tile
+    rows = []
+
+    # measured single-chip compute anchors (real-chip rows, BENCH_extra)
+    t_upd = args.t_update_ms
+    t_qry = args.t_query_ms
+    try:
+        with open(os.path.join(_REPO, "BENCH_extra.json")) as f:
+            entries = json.load(f)["entries"]
+        for e in entries:
+            if (
+                e.get("kind") == "scaling_update"
+                and e.get("backend") == "tpu"
+                and e.get("mesh") == 1
+                and t_upd is None
+            ):
+                t_upd = e["t_iter_ms"] * (T * T) / (e["map"][0] * e["map"][1])
+            if (
+                e.get("kind") == "scaling_tiled_query"
+                and e.get("backend") == "tpu"
+                and e.get("mesh") == 1
+                and t_qry is None
+            ):
+                t_qry = e["t_iter_ms"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
+    if t_upd is None:
+        t_upd = 0.089  # BENCH_extra r3 real-chip row, 256^2 tile
+    if t_qry is None:
+        t_qry = 0.06
+
+    def comm_time(bytes_per_device, hops=1, links=1):
+        """Bandwidth term + latency term for a nearest-neighbor exchange."""
+        return bytes_per_device / (ICI_BW * links) + hops * ICI_HOP_LATENCY
+
+    # ---- 1. sharded_update halo exchange --------------------------------
+    h = required_halo(ccfg, vcfg)
+    # phase 1 (rows axis): send/recv 2 strips of (h, T) f32
+    # phase 2 (cols axis): send/recv 2 strips of (h, T + 2h) — includes the
+    # freshly received rows, which is how corners arrive
+    halo_bytes = F32 * 2 * h * (T + (T + 2 * h))
+    t_halo = comm_time(halo_bytes, hops=2, links=2)
+    rows.append({
+        "kind": "comm_model", "collective": "sharded_update_halo",
+        "halo_cells": h, "tile": T,
+        "bytes_per_device": halo_bytes,
+        "t_comm_us": round(t_halo * 1e6, 2),
+        "t_compute_ms_measured_1chip": round(t_upd, 4),
+        "predicted_weak_efficiency": round(
+            t_upd / (t_upd + t_halo * 1e3), 4
+        ),
+        "note": "weak scaling: halo volume is per-device constant, so the "
+        "predicted efficiency is mesh-size independent (>=2 devices)",
+    })
+
+    # ---- 2. sharded_circle_field halo -----------------------------------
+    h2 = int(math.ceil(args.radius / res - 1e-12)) + 1
+    # two planes exchanged: traversability f32 + mask (exchanged as f32)
+    field_bytes = 2 * F32 * 2 * h2 * (T + (T + 2 * h2))
+    t_field_halo = comm_time(field_bytes, hops=2, links=2)
+    rows.append({
+        "kind": "comm_model", "collective": "sharded_circle_field_halo",
+        "halo_cells": h2, "tile": T,
+        "bytes_per_device": field_bytes,
+        "t_comm_us": round(t_field_halo * 1e6, 2),
+        "note": "per map epoch, amortized over every query against the "
+        "field",
+    })
+
+    # ---- 3. replicated-query-state all-gather ---------------------------
+    # replicate_query_state: trav f32 + mask bool over the GLOBAL map; ring
+    # all-gather moves (D-1)/D of the global planes through each device
+    for mesh_n in (2, 4, 8):
+        gx = int(math.sqrt(mesh_n))
+        while mesh_n % gx:
+            gx -= 1
+        gy = mesh_n // gx
+        H, W = T * gx, T * gy
+        plane_bytes = H * W * (F32 + 1)
+        ag_bytes = plane_bytes * (mesh_n - 1) / mesh_n
+        t_ag = comm_time(ag_bytes, hops=mesh_n - 1)
+        rows.append({
+            "kind": "comm_model", "collective": "replicate_query_state",
+            "mesh": mesh_n, "map": [H, W],
+            "bytes_per_device": int(ag_bytes),
+            "t_comm_us": round(t_ag * 1e6, 2),
+            "note": "once per map epoch; small-map mode only (large maps "
+            "use the tiled path and never replicate)",
+        })
+
+    # ---- 4. tiled-query collectives -------------------------------------
+    Pn, N, MC = args.paths, args.poses, args.max_cells
+    S = (MC + 3) // 4
+    samples = Pn * max(N - 1, 1) * S
+    # three f32 psums (ok, trav, owner); ring all-reduce moves 2(D-1)/D of
+    # the buffer per device
+    psum_bytes_1 = 3 * samples * F32
+    # sharded-raster mode adds the s_cells/masks all-gather
+    ag_cells_bytes = samples * 2 * F32 + samples * 1 + Pn * (N - 1) * 1
+    for mesh_n in (2, 4, 8):
+        pb = psum_bytes_1 * 2 * (mesh_n - 1) / mesh_n
+        t_ps = comm_time(pb, hops=mesh_n - 1)
+        ag = ag_cells_bytes * (mesh_n - 1) / mesh_n
+        t_ag2 = comm_time(ag, hops=mesh_n - 1)
+        rows.append({
+            "kind": "comm_model", "collective": "tiled_query",
+            "mesh": mesh_n, "paths": Pn, "poses": N, "samples": samples,
+            "psum_bytes_per_device": int(pb),
+            "t_psum_us": round(t_ps * 1e6, 2),
+            "t_raster_allgather_us": round(t_ag2 * 1e6, 2),
+            "t_query_ms_measured_1chip": t_qry,
+            "predicted_query_overhead_pct": round(
+                100 * (t_ps + t_ag2) * 1e3 / t_qry, 1
+            ),
+            "note": "per-device probe work is replicated by design (each "
+            "device probes its tile for every sample), so tiled-query "
+            "throughput is ~flat in mesh size; the collectives above are "
+            "the only added cost on ICI",
+        })
+
+    summary = {
+        "kind": "comm_model_summary",
+        "ici_bw_per_link_Bps": ICI_BW,
+        "ici_hop_latency_s": ICI_HOP_LATENCY,
+        "headline": {
+            "update_weak_efficiency_mesh_ge2": rows[0][
+                "predicted_weak_efficiency"
+            ],
+            "field_halo_us": rows[1]["t_comm_us"],
+        },
+        "contrast": "virtual-CPU-mesh efficiencies in BENCH_extra measure "
+        "single-socket collective infrastructure (psum-only floor grows "
+        "0.012->0.30 ms with mesh size, scripts/profile_tiled.py), not ICI; "
+        "this model is the real-slice prediction",
+    }
+    for r in rows:
+        print(json.dumps(r))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

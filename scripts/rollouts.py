@@ -149,6 +149,127 @@ def run_tiled(args, elev, res):
             f.write(json.dumps(blob) + "\n")
 
 
+def run_device_gen(args, est, src, robot, res):
+    """Config 5, TPU-native shape: rollouts are GENERATED ON DEVICE.
+
+    The round-3 rollout budget (689 ms p50 for 100k x 12) was dominated by
+    the host side of the loop: ~8.8M numpy RNG samples per step plus a
+    ~9.6 MB pose upload through the tunnel, then a 0.8 MB verdict download
+    (decomposition: the --stages flag on the host-gen path). None of that
+    is engine work. A planner on this stack generates its random-walk
+    rollouts inside the scoring program (jax.random from a per-step key)
+    and fetches back only the best pose + aggregates — the device sees a
+    160 KB patch upload and returns ~100 bytes.
+
+    Per step, ONE program: generate poses -> rasterize -> probe the cropped
+    dense circle field -> aggregate -> argmax(best safe path). The map
+    refresh (update_with_submap) and crop+field build stay the same
+    estimator calls as the host-gen path.
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from traversability_estimation_tpu.ops import footprint as fp_ops
+
+    P, N = args.rollouts, args.poses
+    radius, offset = 0.3, est.config.footprint.circular_footprint_offset
+    reach = (0.25 + 0.08) * (N - 1) + 0.1
+    max_cells = 16
+
+    @jax.jit
+    def score_step(state, field, robot_xy, key):
+        k1, k2 = jax.random.split(key)
+        headings = jax.random.uniform(k1, (P,), minval=0.0, maxval=2 * np.pi)
+        base = jnp.stack([jnp.cos(headings), jnp.sin(headings)], -1) * 0.25
+        jitter = jax.random.uniform(
+            k2, (P, N - 1, 2), minval=-0.08, maxval=0.08
+        )
+        steps_xy = base[:, None, :] + jitter
+        poses = jnp.concatenate(
+            [
+                jnp.broadcast_to(robot_xy, (P, 1, 2)),
+                robot_xy + jnp.cumsum(steps_xy, axis=1),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        n_poses = jnp.full((P,), N, jnp.int32)
+        safe, trav = fp_ops.check_circular_paths(
+            state, poses, n_poses, radius, offset, max_cells, field, False
+        )
+        score = jnp.where(safe, trav, -1.0)
+        best = jnp.argmax(score)
+        return (
+            best,
+            poses[best],
+            safe[best],
+            trav[best],
+            jnp.sum(safe.astype(jnp.int32)),
+        )
+
+    budgets, stages = [], {"update": [], "field": [], "score": []}
+    for step in range(args.steps):
+        t_step = time.time()
+        patch, _ = src.sample(tuple(robot), (6.0, 6.0))
+        est.update_with_submap(patch, tuple(robot))
+        np.asarray(est.traversability_map["traversability"][:1, :1])
+        t1 = time.time()
+        corners = np.array(
+            [
+                [robot[0] - reach, robot[1] - reach],
+                [robot[0] + reach, robot[1] + reach],
+            ],
+            np.float32,
+        )
+        state, field = est._cropped_state_and_field(corners, radius, offset)
+        jax.block_until_ready(field)
+        t2 = time.time()
+        best, best_poses, best_safe, best_trav, n_safe = jax.device_get(
+            score_step(
+                state, field, jnp.asarray(robot, jnp.float32),
+                jax.random.PRNGKey(step),
+            )
+        )
+        t3 = time.time()
+        budgets.append(t3 - t_step)
+        stages["update"].append(t1 - t_step)
+        stages["field"].append(t2 - t1)
+        stages["score"].append(t3 - t2)
+        print(
+            f"step {step}: {budgets[-1]*1e3:7.1f} ms "
+            f"(update {stages['update'][-1]*1e3:6.1f} | field "
+            f"{stages['field'][-1]*1e3:6.1f} | gen+score+fetch "
+            f"{stages['score'][-1]*1e3:6.1f}) | safe {int(n_safe):>6}/{P} "
+            f"| best {float(best_trav):.3f}",
+            file=sys.stderr,
+        )
+        if bool(best_safe):
+            robot = np.asarray(best_poses)[min(3, N - 1)].astype(np.float64)
+
+    steady = float(np.median(budgets[1:])) if len(budgets) > 1 else budgets[0]
+    med = {k: round(float(np.median(v[1:] if len(v) > 1 else v)) * 1e3, 1)
+           for k, v in stages.items()}
+    print(
+        f"device-gen replanning budget p50: {steady*1e3:.1f} ms "
+        f"(stages {med}) -> "
+        f"{P * N / steady / 1e6:.1f}M pose-checks/s sustained"
+    )
+    if args.json:
+        blob = {
+            "kind": "rollouts_device_gen",
+            "backend": jax.devices()[0].platform,
+            "map_cells": list(est.query_state.shape),
+            "rollouts": P,
+            "poses": N,
+            "budget_p50_ms": round(steady * 1e3, 1),
+            "stage_p50_ms": med,
+            "pose_checks_per_s": round(P * N / steady, 1),
+        }
+        with open(args.json, "a") as f:
+            f.write(json.dumps(blob) + "\n")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--map-m", type=float, default=200.0)
@@ -156,6 +277,19 @@ def main(argv=None):
     ap.add_argument("--rollouts", type=int, default=100_000)
     ap.add_argument("--poses", type=int, default=12)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument(
+        "--device-gen",
+        action="store_true",
+        help="generate rollouts ON DEVICE (jax.random) and fetch only the "
+        "best pose + aggregates — removes the host RNG + 9.6 MB pose upload "
+        "+ 0.8 MB verdict download from the replanning budget",
+    )
+    ap.add_argument(
+        "--stages",
+        action="store_true",
+        help="decompose each host-gen replanning step into gen/upload/"
+        "update/field/query/fetch stage timings (written to the JSON row)",
+    )
     ap.add_argument(
         "--tiled",
         action="store_true",
@@ -237,12 +371,20 @@ def main(argv=None):
         return
     robot = cand[int(np.argmax(ok)), 0].astype(np.float64)
     print(f"start at {robot}", file=sys.stderr)
+    if args.device_gen:
+        run_device_gen(args, est, src, robot, res)
+        return
     budgets = []
+    stage_names = ("update", "gen", "query_dispatch", "query_wait", "fetch")
+    stage_t = {k: [] for k in stage_names}
     for step in range(args.steps):
         t_step = time.time()
         # refresh a 6 m window around the robot (sensor update)
         patch, _ = src.sample(tuple(robot), (6.0, 6.0))
         est.update_with_submap(patch, tuple(robot))
+        if args.stages:
+            np.asarray(est.traversability_map["traversability"][:1, :1])
+        t1 = time.time()
         # rollouts: random-walk candidate paths from the robot
         headings = rng.uniform(0, 2 * np.pi, P)
         base = np.stack([np.cos(headings), np.sin(headings)], -1) * 0.25
@@ -251,20 +393,33 @@ def main(argv=None):
             [np.broadcast_to(robot, (P, 1, 2)), robot + np.cumsum(steps_xy, 1)],
             axis=1,
         ).astype(np.float32)
+        t2 = time.time()
+        # dispatch includes the pose upload + crop/field build
         safe, trav = est.check_circular_paths_batch(
             poses, np.full((P,), N, np.int32), 0.3
         )
+        t3 = time.time()
         jax.block_until_ready((safe, trav))
+        t4 = time.time()
         safe = np.asarray(safe)
         trav = np.asarray(trav)
-        budget = time.time() - t_step
+        t5 = time.time()
+        budget = t5 - t_step
         budgets.append(budget)
+        for k, v in zip(
+            stage_names, (t1 - t_step, t2 - t1, t3 - t2, t4 - t3, t5 - t4)
+        ):
+            stage_t[k].append(v)
         best = int(np.argmax(np.where(safe, trav, -1.0)))
-        print(
+        msg = (
             f"step {step}: {budget*1e3:7.1f} ms budget | safe {safe.sum():>6}/{P} "
-            f"| best trav {trav[best]:.3f}",
-            file=sys.stderr,
+            f"| best trav {trav[best]:.3f}"
         )
+        if args.stages:
+            msg += " | " + " ".join(
+                f"{k} {stage_t[k][-1]*1e3:.1f}" for k in stage_names
+            )
+        print(msg, file=sys.stderr)
         if safe[best]:
             robot = poses[best, min(3, N - 1), :].astype(np.float64)
 
@@ -285,7 +440,14 @@ def main(argv=None):
             "budget_p50_ms": round(steady * 1e3, 1),
             "pose_checks_per_s": round(args.rollouts * args.poses / steady, 1),
         }
-        with open(args.json, "w") as f:
+        if args.stages:
+            blob["stage_p50_ms"] = {
+                k: round(
+                    float(np.median(v[1:] if len(v) > 1 else v)) * 1e3, 1
+                )
+                for k, v in stage_t.items()
+            }
+        with open(args.json, "a") as f:
             f.write(json.dumps(blob) + "\n")
 
 

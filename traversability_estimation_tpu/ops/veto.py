@@ -110,6 +110,15 @@ def step_veto_ok(
     contains real out-of-tile data plus out-of-global padding, and only the
     latter must stop the walk.
     """
+    # NOTE on a measured negative result (round 4): a "packed" variant of
+    # this function — one NaN-sentinel plane (step0 + in_map + elevation)
+    # serving all trigger/candidate tests, folded gap compare, and the 8
+    # per-direction fail planes bit-packed into one int32 plane so the
+    # candidate combine shifts 21 planes instead of ~84 bool planes — was
+    # implemented, verified cell-exact, and measured 1.5x SLOWER than this
+    # formulation on the chip (0.115 vs 0.076 ms at 336^2, clean A/B in
+    # ABLATE_last.json E7). XLA fuses the bool-plane combine better than
+    # the int32 select/or/and chain. Keep the bool formulation.
     elev = elevation.astype(jnp.float32)
     step0 = step_layer == 0.0
     crit = jnp.float32(cfg.critical_step_height)
@@ -118,22 +127,16 @@ def step_veto_ok(
 
     dirs = _ray_directions(cfg)
 
-    # One encoded plane serves every trigger AND candidate test (measured:
-    # the round-3 combine's separate elev/step0/in_map bool shifts held this
-    # stage at 46% of its bound — ABLATE_last E2): qenc = elevation where
-    # the cell is an in-map step0 cell, else NaN. Both tests are strict f32
-    # comparisons against a threshold derived from a FINITE own elevation,
-    # so NaN encodes "not a candidate/drop cell" exactly (NaN compares
-    # False), including cells whose own elevation is NaN.
-    qenc = jnp.where(step0 & in_map, elev, jnp.nan)
-
     # --- per-cell, per-direction ray analysis (thresholds rel. to own cell) -
     ray_fail = []
     for di, dj, K in dirs:
         h = elev
         # direction triggers iff neighbor (the submap drop cell) exists, has
         # step == 0, and is lower than the candidate by > critical
-        trigger = _shifted(qenc, di, dj, jnp.nan) < h - crit
+        nb_elev = _shifted(elev, di, dj, jnp.nan)
+        nb_in = _shifted(in_map, di, dj, False)
+        nb_step0 = _shifted(step0, di, dj, False)
+        trigger = nb_in & nb_step0 & (nb_elev < h - crit)
 
         gap_started = jnp.zeros(elev.shape, dtype=bool)
         ended = jnp.zeros(elev.shape, dtype=bool)
@@ -143,15 +146,9 @@ def step_veto_ok(
             e_t = _shifted(elev, di * t, dj * t, jnp.nan)
             t_in = _shifted(in_map, di * t, dj * t, False)
             active = t_in  # walk stops at the map edge; rays are prefix-closed
-            # folded classification: ge_lo = e_t >= h - crit is False for
-            # NaN e_t, so gap == (e_t < h-crit) | ~isfinite(e_t) == ~ge_lo.
-            # (For NaN own-h every step reads "gap", but every use of this
-            # ray is gated by a trigger/candidate test that requires finite
-            # h, so the fold cannot change any verdict.)
-            ge_lo = e_t >= h - crit
             wall_t = active & (e_t > h + crit)
-            gap_t = active & ~ge_lo
-            mid_t = active & ge_lo & ~wall_t
+            gap_t = active & ((e_t < h - crit) | ~jnp.isfinite(e_t))
+            mid_t = active & ~wall_t & ~gap_t
             end_t = mid_t & gap_started & ~ended
             # wall cells checked only until the loop breaks at the gap end
             wall_fail = wall_fail | (wall_t & ~ended)
@@ -161,13 +158,7 @@ def step_veto_ok(
         unclosed = any_gap & ~ended
         ray_fail.append(trigger & (wall_fail | unclosed))
 
-    # bit-pack the 8 per-direction fail planes into ONE int32 plane: the
-    # candidate combine below then shifts one plane per candidate offset and
-    # masks with a STATIC per-offset direction mask, instead of shifting up
-    # to 8 bool planes per offset (round 3 paid ~84 bool-plane shifts here)
-    bits = jnp.zeros(elev.shape, jnp.int32)
-    for d_idx, rf in enumerate(ray_fail):
-        bits = bits | jnp.where(rf, jnp.int32(1 << d_idx), jnp.int32(0))
+    ray_fail_any = jnp.stack(ray_fail, axis=0)  # (D, H, W)
 
     # --- candidate window combine ---------------------------------------
     cand_offs = circle_offsets(2.5 * cfg.resolution, cfg.resolution)
@@ -175,23 +166,26 @@ def step_veto_ok(
     fail_from_cand = jnp.zeros(elev.shape, dtype=bool)
     for o in cand_offs.tolist():
         oi, oj = int(o[0]), int(o[1])
-        active = _shifted(qenc, oi, oj, jnp.nan) > elev + crit
+        c_elev = _shifted(elev, oi, oj, jnp.nan)
+        c_in = _shifted(in_map, oi, oj, False)
+        c_step0 = _shifted(step0, oi, oj, False)
+        active = c_in & c_step0 & (c_elev > elev + crit)
         has_cand = has_cand | active
         # allowed walk directions: toCenter . vec >= 0  <=>  o . d <= 0
         # (position axes are index axes negated); the filter is skipped when
         # |toCenter| = |o|*res <= 0.025 (TraversabilityMap.cpp:830-831)
         to_center_small = math.hypot(oi, oj) * cfg.resolution <= 0.025
-        allowed = 0
+        fail_d = jnp.zeros(elev.shape, dtype=bool)
         for d_idx, (di, dj, _) in enumerate(dirs):
-            if to_center_small or (oi * di + oj * dj) <= 0:
-                allowed |= 1 << d_idx
-        cbits = _shifted(bits, oi, oj, 0)
-        fail_from_cand = fail_from_cand | (
-            active & ((cbits & jnp.int32(allowed)) != 0)
-        )
+            if not to_center_small and (oi * di + oj * dj) > 0:
+                continue
+            fail_d = fail_d | _shifted(ray_fail_any[d_idx], oi, oj, False)
+        fail_from_cand = fail_from_cand | (active & fail_d)
 
     # self-fallback (no candidate): all directions allowed, relative to self
-    fail_self = bits != 0
+    fail_self = jnp.zeros(elev.shape, dtype=bool)
+    for d_idx in range(len(dirs)):
+        fail_self = fail_self | ray_fail_any[d_idx]
 
     # logical ops, not jnp.where: Mosaic cannot lower select on i1 vectors
     fail = step0 & ((has_cand & fail_from_cand) | (~has_cand & fail_self))

@@ -77,25 +77,37 @@ def measure_vpu_f32_flops(k1: int = 16, k2: int = 64) -> float:
 
 
 def measure_vpu_bool_ops(k1: int = 16, k2: int = 64) -> float:
-    """Measured boolean/mask op throughput [ops/s]: K x 256 chained
-    xor/and/or ops on bool planes. The update kernels are mask-heavy (the
-    step-gap walk is ~60% i1 ops); if masks issue faster than the FMA rate,
-    a model that prices every logical op at FMA cost overstates the compute
-    bound — the source of the r02 'achieved 116% of SoL' (VERDICT weak #3)."""
+    """Measured boolean/mask op throughput [ops/s]: K x 256 chained mask ops
+    on bool planes, ROTATING through 8 distinct operands and mixing
+    and/or/xor/andnot. The update kernels are mask-heavy (the step-gap walk
+    is ~60% i1 ops); if masks issue faster than the FMA rate, a model that
+    prices every logical op at FMA cost overstates the compute bound — the
+    source of the r02 'achieved 116% of SoL' (VERDICT weak #3).
+
+    The rotation + mix matters: an earlier two-constant ``(c ^ a) | b``
+    chain measured anywhere from 1.6x to 5.3x the f32 issue rate across
+    sessions (XLA/Mosaic sometimes found a packed layout or simplification
+    for the repeated pattern); the mixed chain tracks what mask-heavy
+    kernels actually achieve."""
     import jax
     import jax.numpy as jnp
     import numpy as np_
 
     rng = np_.random.default_rng(0)
-    a = jnp.asarray(rng.random((2048, 2048)) < 0.5)
-    b = jnp.asarray(rng.random((2048, 2048)) < 0.5)
+    ops_per_iter = 256
+    operands = [
+        jnp.asarray(rng.random((2048, 2048)) < 0.5) for _ in range(8)
+    ]
 
     def make(k):
         @jax.jit
         def loop(x):
             def body(c, _):
-                for _ in range(128):
-                    c = (c ^ a) | b
+                for i in range(ops_per_iter // 4):
+                    c = c & operands[i % 8]
+                    c = c | operands[(i + 3) % 8]
+                    c = c ^ operands[(i + 5) % 8]
+                    c = c | (operands[(i + 1) % 8] & ~c)
                 return c, None
 
             c, _ = jax.lax.scan(body, x, None, length=k)
@@ -103,9 +115,11 @@ def measure_vpu_bool_ops(k1: int = 16, k2: int = 64) -> float:
 
         return loop
 
-    t1 = _timed_min(make(k1), a)
-    t2 = _timed_min(make(k2), a)
-    return a.size * 256 * (k2 - k1) / max(t2 - t1, 1e-9)
+    # the andnot line is 2 ops -> 5 ops per 4-line group
+    total_ops = (ops_per_iter // 4) * 5
+    t1 = _timed_min(make(k1), operands[7])
+    t2 = _timed_min(make(k2), operands[7])
+    return operands[0].size * total_ops * (k2 - k1) / max(t2 - t1, 1e-9)
 
 
 def measure_peaks(k1: int = 16, k2: int = 64) -> Dict[str, float]:
@@ -253,21 +267,21 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
     mult = 2 if veto_cfg.check_roughness else 1
     st_veto_cnt = ((n_cnt + 5) * mult, 0, n_cnt * mult)
 
-    # step veto (veto.py:87-205, packed qenc + bit-packed combine), in_map
-    # folded: per walk step 2 f32 compares (ge_lo, wall) + ~11 mask ops +
-    # 1 shifted elevation read; triggers 8 cmps (qenc shifts shared with the
-    # candidate window via CSE — unit directions are candidate offsets);
-    # qenc prep 2; bit-pack 8 selects + 8 ors; candidate combine per offset
-    # 1 cmp + 1 int-and + 1 cmp (f32-class) + ~3 masks + 2 shifted reads
-    # (qenc, bits); final ~8.
+    # step veto (veto.py:87-205, bool-plane formulation — a bit-packed int32
+    # variant measured 1.5x slower, ABLATE E7), in_map folded: per walk step
+    # 3 f32 compares (wall, NaN, gap) + ~11 mask ops + 1 shifted elevation
+    # read; triggers 8 x (cmp + and) (elev shift CSE'd with the t=1 walk
+    # read, step0 shift counted); candidate combine per offset 1 cmp + ~8
+    # masks + 2 shifted reads (elev, step0) + ~4 shifted bool fail planes;
+    # threshold planes 2; self-fallback 8 + final ~5.
     from traversability_estimation_tpu.ops.veto import _ray_directions
 
     walk_steps = sum(k for _, _, k in _ray_directions(veto_cfg))
     n_cand = _n_offsets(2.5 * res, res)
     st_walk = (
-        2 * walk_steps + 8 + 2 + 16 + 3 * n_cand,
-        11 * walk_steps + 3 * n_cand + 14,
-        walk_steps + 2 * n_cand,
+        3 * walk_steps + 8 + n_cand + 2,
+        11 * walk_steps + 2 * 8 + 8 * n_cand + 8 + 5,
+        walk_steps + 8 + 6 * n_cand,
     )
 
     breakdown = {
@@ -324,59 +338,56 @@ def circle_field_op_estimate(
 
 
 def measure_static_shift_cost(
-    shape: tuple, n_shifts: int = 16, k1: int = 16, k2: int = 64
+    shape: tuple, n_shifts: int = 16, k1: int = 16, k2: int = 64,
+    vpu_f32_ops_per_s: float | None = None,
 ) -> float:
     """Seconds per STATIC (pad + slice) diagonal plane shift at `shape`.
 
     The fused update's stencils read shifted planes; each unaligned static
     shift is a vector relayout (measured 0.03-0.22 us per 336^2 plane by
     direction — ABLATE_last.json E1). The diagonal rate is used to price the
-    model's ``shifted_planes`` class (hardest common case). Measured as the
-    slope difference between an accumulating loop over diagonal shifts and
-    the same loop with zero offsets."""
+    model's ``shifted_planes`` class (hardest common case). The loop
+    accumulates one add per shift; that add is charged analytically at the
+    f32 issue rate when given (an earlier zero-offset baseline loop folded
+    to a single multiply and measured garbage under transport jitter)."""
     import jax
     import jax.numpy as jnp
 
     H, W = shape
     a = jnp.ones((H, W), jnp.float32)
+    offs = [((i % 7) - 3 or 1, (i % 5) - 2 or 1) for i in range(n_shifts)]
 
-    def make(offsets):
-        offs = list(offsets)
+    def mk(k):
+        @jax.jit
+        def loop(x):
+            def body(c, _):
+                acc = jnp.zeros_like(c)
+                for di, dj in offs:
+                    padded = jnp.pad(
+                        c,
+                        (
+                            (max(-di, 0), max(di, 0)),
+                            (max(-dj, 0), max(dj, 0)),
+                        ),
+                    )
+                    acc = acc + padded[
+                        max(di, 0) : max(di, 0) + H,
+                        max(dj, 0) : max(dj, 0) + W,
+                    ]
+                return c + 1e-12 * acc, None
 
-        def mk(k):
-            @jax.jit
-            def loop(x):
-                def body(c, _):
-                    acc = jnp.zeros_like(c)
-                    for di, dj in offs:
-                        if di == 0 and dj == 0:
-                            acc = acc + c
-                        else:
-                            padded = jnp.pad(
-                                c,
-                                (
-                                    (max(-di, 0), max(di, 0)),
-                                    (max(-dj, 0), max(dj, 0)),
-                                ),
-                            )
-                            acc = acc + padded[
-                                max(di, 0) : max(di, 0) + H,
-                                max(dj, 0) : max(dj, 0) + W,
-                            ]
-                    return c + 1e-12 * acc, None
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return c[0, 0]
 
-                c, _ = jax.lax.scan(body, x, None, length=k)
-                return c[0, 0]
+        return loop
 
-            return loop
-
-        t1 = _timed_min(mk(k1), a)
-        t2 = _timed_min(mk(k2), a)
-        return max(t2 - t1, 1e-9) / (k2 - k1)
-
-    diag = [((i % 7) - 3 or 1, (i % 5) - 2 or 1) for i in range(n_shifts)]
-    none = [(0, 0)] * n_shifts
-    return max(make(diag) - make(none), 0.0) / n_shifts
+    t1 = _timed_min(mk(k1), a)
+    t2 = _timed_min(mk(k2), a)
+    per_iter = max(t2 - t1, 1e-9) / (k2 - k1)
+    t_adds = (
+        n_shifts * H * W / vpu_f32_ops_per_s if vpu_f32_ops_per_s else 0.0
+    )
+    return max(per_iter - t_adds, 0.0) / n_shifts
 
 
 def measure_shift_floor(
