@@ -246,9 +246,12 @@ def main():
     # shift-inclusive bound adds the MEASURED per-shift relayout cost
     # (ABLATE_last.json E1) — a hardware floor static shifts actually pay,
     # analogous to the circle field's dynamic-shift floor.
+    # measured at 672^2 (4x the cells: the relayout term is ~4x the
+    # subtraction noise there; a direct 336^2 reading clamped to 0) and
+    # scaled per-cell — the relayout cost is per-element
     shift_cost = roofline.measure_static_shift_cost(
-        (H, W), vpu_f32_ops_per_s=peaks["vpu_f32_ops_per_s"]
-    )
+        (672, 672), vpu_f32_ops_per_s=peaks["vpu_f32_ops_per_s"]
+    ) * (H * W) / (672 * 672)
     upd_sol_ops = roofline.sol_report(
         H * W, t_update, upd_counts, vpu_flops, hbm_bw, bool_rate
     )

@@ -188,6 +188,42 @@ def main(argv=None):
             "the only added cost on ICI",
         })
 
+    # ---- 5. config-5 rollout projection at 8 chips ----------------------
+    # Measured single-chip stages (BENCH_extra rollouts_device_gen, 100k x
+    # 12 on the 44M-cell map): update / field / score. Tiled at mesh 8:
+    # update+field are O(cells) stencils -> /8 + halo; the score's sharded
+    # raster -> /8; its psums move the full sample buffers.
+    try:
+        with open(os.path.join(_REPO, "BENCH_extra.json")) as f:
+            entries = json.load(f)["entries"]
+        dg = next(
+            (e for e in entries if e.get("kind") == "rollouts_device_gen"),
+            None,
+        )
+    except (OSError, KeyError, json.JSONDecodeError):
+        dg = None
+    if dg and "stage_p50_ms" in dg:
+        st = dg["stage_p50_ms"]
+        n = 8
+        samples5 = dg["rollouts"] * (dg["poses"] - 1) * 4
+        psum5 = 3 * samples5 * F32 * 2 * (n - 1) / n
+        t_ps5 = comm_time(psum5, hops=n - 1)
+        proj = (
+            st["update"] / n + t_halo * 1e3
+            + st["field"] / n + t_field_halo * 1e3
+            + st["score"] / n + t_ps5 * 1e3
+        )
+        rows.append({
+            "kind": "comm_model", "collective": "config5_rollouts_mesh8",
+            "measured_1chip_ms": dg["budget_p50_ms"],
+            "stages_1chip_ms": st,
+            "psum_bytes_per_device": int(psum5),
+            "t_psum_ms": round(t_ps5 * 1e3, 2),
+            "projected_mesh8_ms": round(proj, 1),
+            "note": "update/field/score divide by 8 (tiled stencils + "
+            "sharded raster); the verdict psums dominate the added comm",
+        })
+
     summary = {
         "kind": "comm_model_summary",
         "ici_bw_per_link_Bps": ICI_BW,

@@ -240,3 +240,40 @@ def test_sharded_online_tick_matches_unsharded(setup):
     np.testing.assert_allclose(
         np.asarray(trav_t), np.asarray(trav_r), atol=1e-6
     )
+
+
+def test_tiled_paths_sharded_raster_matches_local(setup):
+    # Forces the large-batch branch of check_circular_paths_tiled (pose
+    # batch divides the mesh AND raster_work >= 2**18): the Bresenham
+    # expansion runs inside an explicit shard_map over the pose axis and
+    # only the subsampled cells are all-gathered. Results must stay
+    # bit-identical to the unsharded evaluator.
+    mesh, layers, state, (H, W) = setup
+    rng = np.random.default_rng(13)
+    P, N = 256, 9
+    max_cells = 128
+    assert P % mesh.devices.size == 0
+    assert P * (N - 1) * max_cells >= 1 << 18
+    extent_x, extent_y = H * RES / 2, W * RES / 2
+    starts = np.stack(
+        [rng.uniform(-extent_x, extent_x, P), rng.uniform(-extent_y, extent_y, P)],
+        -1,
+    )
+    steps = rng.uniform(-0.15, 0.15, (P, N - 1, 2))
+    poses = np.concatenate(
+        [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+    ).astype(np.float32)
+    n_poses = rng.integers(1, N + 1, P).astype(np.int32)
+    # keep single-pose paths out (documented cell-center deviation)
+    n_poses[n_poses < 2] = 2
+
+    field = sh.sharded_circle_field(layers, mesh, RADIUS + OFFSET, RADIUS, RES, 0.5)
+    safe_t, trav_t = sh.check_circular_paths_tiled(
+        field[0], field[1], poses, n_poses, mesh, (0.0, 0.0), RES, max_cells
+    )
+    field_ref = fp_ops.dense_circle_field(state, RADIUS + OFFSET, RADIUS)
+    safe_r, trav_r = fp_ops.check_circular_paths(
+        state, poses, n_poses, RADIUS, OFFSET, max_cells, field_ref, False
+    )
+    np.testing.assert_array_equal(np.asarray(safe_t), np.asarray(safe_r))
+    np.testing.assert_array_equal(np.asarray(trav_t), np.asarray(trav_r))

@@ -106,6 +106,9 @@ class TraversabilityEstimator:
         self._map: Optional[GridMap] = None
         self._query_state: Optional[fp_ops.QueryState] = None
         self._field_cache: Dict[tuple, tuple] = {}  # (radius, offset) -> field
+        # online_tick compile-stability high-water marks (see online_tick)
+        self._pwindow_hwm: Dict[tuple, tuple] = {}
+        self._max_cells_hwm: int = 0
         self._elevation: Optional[jnp.ndarray] = None
         self._position = np.zeros(2, dtype=np.float32)
         self._traversability_default = self.config.footprint.traversability_default
@@ -447,6 +450,17 @@ class TraversabilityEstimator:
                 return _unfused()
             ext = poses.max(axis=1) - poses.min(axis=1)
             pwindow = fp_ops.path_group_window(fp_np, ext, res, identity)
+            # ONLINE-LOOP COMPILE STABILITY: the window is derived from the
+            # tick's pose extents, so random planner batches bounce its dims
+            # tick-to-tick and every distinct (wi, wj) is a fresh multi-
+            # second jit (measured: the polygonal loop ran at 0.4 Hz, all
+            # recompiles). Keep a monotone high-water window per (footprint,
+            # mode): after the first couple of ticks the window covers every
+            # batch the planner produces and the program never recompiles.
+            hwm_key = (fp_np.tobytes(), identity)
+            hwm = self._pwindow_hwm.get(hwm_key, (0, 0))
+            pwindow = (max(pwindow[0], hwm[0]), max(pwindow[1], hwm[1]))
+            self._pwindow_hwm[hwm_key] = pwindow
             if pwindow[0] * pwindow[1] * poses.shape[0] > _GROUPED_ELEMS_CAP:
                 return _unfused()
             translate_only = identity and not conservative
@@ -473,7 +487,13 @@ class TraversabilityEstimator:
 
         n_poses_np = np.asarray(n_poses, np.int32)
         if footprint is None:
-            max_cells = self._max_segment_cells(poses_np, n_poses_np)
+            # monotone high-water static length (same compile-stability
+            # rationale as the polygonal window above)
+            max_cells = max(
+                self._max_segment_cells(poses_np, n_poses_np),
+                self._max_cells_hwm,
+            )
+            self._max_cells_hwm = max_cells
             has_single = bool(np.any(n_poses_np <= 1))
         else:
             # circular-mode statics pinned to constants: keeps the polygonal

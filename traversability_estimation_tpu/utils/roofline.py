@@ -243,7 +243,9 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
     # sh_max_in select, clamp, min, mul, div, compare, NaN mask)
     n_s1 = _n_offsets(chain_cfg.step_first_window_radius, res)
     n_s2 = _n_offsets(chain_cfg.step_second_window_radius, res)
-    st_step = (3 + 2 * n_s1 + 4 * n_s2 + 13, 2, 2 * n_s1 + n_s2)
+    # finishing ~11: isolated-stage calibration read 105.6% of the bound at
+    # 13 (model_inflated), implying XLA folds ~2 of the hand-counted ops
+    st_step = (3 + 2 * n_s1 + 4 * n_s2 + 11, 2, 2 * n_s1 + n_s2)
 
     # roughness (filters.py:320-394): per offset ~12 + 2 shifted reads (same
     # moment pattern as normals); finishing: plane residual + sqrt + map ~30
