@@ -458,8 +458,18 @@ class TraversabilityEstimator:
             # mode): after the first couple of ticks the window covers every
             # batch the planner produces and the program never recompiles.
             hwm_key = (fp_np.tobytes(), identity)
-            hwm = self._pwindow_hwm.get(hwm_key, (0, 0))
-            pwindow = (max(pwindow[0], hwm[0]), max(pwindow[1], hwm[1]))
+            hwm = self._pwindow_hwm.get(hwm_key)
+            if hwm is None:
+                # first sighting: over-allocate 1.5x so the tail of the
+                # planner's per-path-extent distribution stays under the
+                # mark (a window growth event = a multi-second recompile;
+                # the extra raster area costs a few ms per tick at most)
+                hwm = (int(pwindow[0] * 1.5), int(pwindow[1] * 1.5))
+            # bucket to 16s so a marginally-larger batch rarely grows the mark
+            pwindow = (
+                ((max(pwindow[0], hwm[0]) + 15) // 16) * 16,
+                ((max(pwindow[1], hwm[1]) + 15) // 16) * 16,
+            )
             self._pwindow_hwm[hwm_key] = pwindow
             if pwindow[0] * pwindow[1] * poses.shape[0] > _GROUPED_ELEMS_CAP:
                 return _unfused()
