@@ -426,6 +426,54 @@ def main(argv=None):
                 "live": keys, "t_ms": round(t * 1e3, 4),
             })
 
+    # ------------------------------------------------------------------ E8
+    # count-veto variants: direct 29-shift disc accumulation vs a row-
+    # decomposed box-sum form (box sums per distinct row width, then
+    # vertical combine: ~16 shifts, mostly the cheap row direction). Counts
+    # are small integers in f32 -> any summation order is exact.
+    if "E8" not in args.skip:
+        def count_box(layer):
+            is_zero = layer == 0.0
+            zf = is_zero.astype(jnp.float32)
+            # disc radius 3 cells: row widths by |di|: 0->7, 1..2->5, 3->1
+            def rowsum(x, half):
+                acc = x
+                for dj in range(1, half + 1):
+                    acc = acc + _shifted(x, 0, dj, 0.0) + _shifted(
+                        x, 0, -dj, 0.0
+                    )
+                return acc
+
+            r7 = rowsum(zf, 3)
+            r5 = rowsum(zf, 2)
+            count = r7
+            for di in (1, 2):
+                count = count + _shifted(r5, di, 0, 0.0) + _shifted(
+                    r5, -di, 0, 0.0
+                )
+            count = count + _shifted(zf, 3, 0, 0.0) + _shifted(
+                zf, -3, 0, 0.0
+            )
+            fail = is_zero & (count > jnp.float32(vcfg.slope_n_critical))
+            return (~fail).astype(jnp.float32)
+
+        ref_c = np.asarray(
+            V._count_veto_ok(slope_l, res, vcfg.slope_n_critical)
+        )
+        got_c = np.asarray(count_box(slope_l) > 0.5)
+        for name, fn in {
+            "production": lambda c: V._count_veto_ok(
+                slope_l + 0.0 * c[0, 0], res, vcfg.slope_n_critical
+            ).astype(jnp.float32),
+            "box_sum": lambda c: count_box(slope_l + 0.0 * c[0, 0]),
+        }.items():
+            t = slope(plane_loop(fn), elev)
+            emit({
+                "exp": "E8_count_variant", "size": args.size, "variant": name,
+                "t_ms": round(t * 1e3, 4),
+                "agree": bool(np.array_equal(got_c, ref_c)),
+            })
+
     # ------------------------------------------------------------------ E7
     # walk variants: round-3 implementation (separate bool-plane shifts) vs
     # the packed/bit-packed production rewrite — clean A/B on one chip.

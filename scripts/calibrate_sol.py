@@ -176,6 +176,16 @@ def main(argv=None):
     if vcfg.check_roughness:
         for key in ("f32", "bool", "shifts"):
             model_iso["veto_counts"][key] //= 2
+    # the fused model shares moment planes between normals and roughness
+    # (radii equal); the ISOLATED roughness stage here pays its own moment
+    # loop, so its row is bounded by the unshared count
+    if ccfg.roughness_estimation_radius == ccfg.normals_radius:
+        from traversability_estimation_tpu.grid.geometry import circle_offsets
+
+        n_rgh = len(circle_offsets(ccfg.roughness_estimation_radius, res))
+        model_iso["roughness"] = {
+            "f32": 12 * n_rgh + 30, "bool": 0, "shifts": 2 * n_rgh,
+        }
 
     def stage_bound(m, with_shifts=True):
         t = cells * (m["f32"] / vpu_ops + m["bool"] / bool_ops)

@@ -345,3 +345,45 @@ def test_polygonal_dispatch_block_window_tier(est, monkeypatch):
     assert s["evaluator"] == "grouped" and s["block_window"] is not None
     bw = s["block_window"]
     assert bw[0] * bw[1] < gw[0] * gw[1]
+
+
+class TestOnlineTickCompileStability:
+    """Random planner batches must not grow the fused tick's jit cache
+    tick-over-tick (round 4: the polygonal loop ran at 0.4 Hz because the
+    grouped raster window re-jitted on nearly every batch; the estimator
+    now keeps monotone high-water marks for the window and max_cells)."""
+
+    RES = 0.05
+
+    def test_polygonal_window_mark_stabilizes(self, terrain):
+        cfg = EstimatorConfig(resolution=self.RES)
+        est = TraversabilityEstimator(cfg)
+        assert est.update(terrain(200, 200, self.RES, seed=31, nan_frac=0.02))
+        fp = np.array(
+            [[0.12, 0.08], [0.12, -0.08], [-0.12, -0.08], [-0.12, 0.08]],
+            np.float32,
+        )
+        rng = np.random.default_rng(7)
+        marks = []
+        for tick in range(8):
+            patch = (0.05 * rng.standard_normal((40, 40))).astype(np.float32)
+            P, N = 16, 6
+            starts = np.stack(
+                [rng.uniform(-0.8, 0.8, P), rng.uniform(-0.8, 0.8, P)], -1
+            )
+            steps = rng.uniform(-0.1, 0.1, (P, N - 1, 2))
+            poses = np.concatenate(
+                [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+            ).astype(np.float32)
+            out = est.online_tick(
+                patch, (0.0, 0.0), poses, np.full((P,), N, np.int32),
+                footprint=fp,
+            )
+            assert out is not None
+            marks.append(dict(est._pwindow_hwm))
+        # the first tick's 1.5x over-allocation must cover every later batch
+        # from the same distribution: at most ONE growth event after tick 0
+        growths = sum(
+            1 for i in range(1, len(marks)) if marks[i] != marks[i - 1]
+        )
+        assert growths <= 1, f"window mark grew {growths} times: {marks}"

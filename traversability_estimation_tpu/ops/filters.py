@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,20 +169,19 @@ def smallest_eigpair_sym3(A: Array, sweeps: int = 4) -> Tuple[Array, Array, Arra
 # ---------------------------------------------------------------------------
 
 
-def surface_normals(
+def moment_planes(
     elevation: Array, resolution: float, radius: float
-) -> Dict[str, Array]:
-    """PCA surface normals over a circular window (NormalVectorsFilter 'area').
+) -> Tuple[Array, ...]:
+    """Windowed point moments in LOCAL coordinates, shared by the normals
+    and roughness stages (identical when their radii match — the shipped
+    config uses 0.05 m for both, so ``run_chain`` computes these once
+    instead of relying on XLA to CSE two textually separate loops).
 
-    NaN where the center cell's elevation is invalid. Degenerate windows
-    (second eigenvalue <= 1e-8) take the +z axis, matching the reference
-    dependency's guard.
-    """
+    Returns (n, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz)."""
     elev = elevation.astype(jnp.float32)
     valid = jnp.isfinite(elev)
     zf = jnp.where(valid, elev, 0.0)
     vf = valid.astype(jnp.float32)
-    offs = circle_offsets(radius, resolution)
 
     n = jnp.zeros_like(zf)
     sx = jnp.zeros_like(zf)
@@ -194,7 +193,7 @@ def surface_normals(
     syy = jnp.zeros_like(zf)
     syz = jnp.zeros_like(zf)
     szz = jnp.zeros_like(zf)
-    for di, dj in offs.tolist():
+    for di, dj in circle_offsets(radius, resolution).tolist():
         # neighbor local coordinates: grid_map x decreases with row index
         dx = jnp.float32(-di * resolution)
         dy = jnp.float32(-dj * resolution)
@@ -212,6 +211,25 @@ def surface_normals(
         syy = syy + v * dy * dy
         syz = syz + z * dy
         szz = szz + z * z
+    return n, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz
+
+
+def surface_normals(
+    elevation: Array, resolution: float, radius: float,
+    moments: Optional[Tuple[Array, ...]] = None,
+) -> Dict[str, Array]:
+    """PCA surface normals over a circular window (NormalVectorsFilter 'area').
+
+    NaN where the center cell's elevation is invalid. Degenerate windows
+    (second eigenvalue <= 1e-8) take the +z axis, matching the reference
+    dependency's guard. `moments` short-circuits the window accumulation
+    with precomputed ``moment_planes`` (must be for the same radius).
+    """
+    elev = elevation.astype(jnp.float32)
+    valid = jnp.isfinite(elev)
+    if moments is None:
+        moments = moment_planes(elevation, resolution, radius)
+    n, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz = moments
 
     ns = jnp.maximum(n, 1.0)
     mx, my, mz = sx / ns, sy / ns, sz / ns
@@ -319,40 +337,16 @@ def roughness_layer(
     resolution: float,
     critical_value: float,
     estimation_radius: float,
+    moments: Optional[Tuple[Array, ...]] = None,
 ) -> Array:
-    """RoughnessFilter: std of distances to the center cell's tangent plane."""
-    elev = elevation.astype(jnp.float32)
-    valid = jnp.isfinite(elev)
-    zf = jnp.where(valid, elev, 0.0)
-    vf = valid.astype(jnp.float32)
+    """RoughnessFilter: std of distances to the center cell's tangent plane.
 
-    n = jnp.zeros_like(zf)
-    sx = jnp.zeros_like(zf)
-    sy = jnp.zeros_like(zf)
-    sz = jnp.zeros_like(zf)
-    sxx = jnp.zeros_like(zf)
-    sxy = jnp.zeros_like(zf)
-    sxz = jnp.zeros_like(zf)
-    syy = jnp.zeros_like(zf)
-    syz = jnp.zeros_like(zf)
-    szz = jnp.zeros_like(zf)
-    for di, dj in circle_offsets(estimation_radius, resolution).tolist():
-        dx = jnp.float32(-di * resolution)
-        dy = jnp.float32(-dj * resolution)
-        v = _shifted(vf, di, dj, 0.0)
-        # elevation relative to the center cell: shift-invariant moments that
-        # stay well-conditioned in float32 at any absolute altitude
-        z = _shifted(zf, di, dj, 0.0) - zf * v
-        n = n + v
-        sx = sx + v * dx
-        sy = sy + v * dy
-        sz = sz + z
-        sxx = sxx + v * dx * dx
-        sxy = sxy + v * dx * dy
-        sxz = sxz + z * dx
-        syy = syy + v * dy * dy
-        syz = syz + z * dy
-        szz = szz + z * z
+    `moments` short-circuits the window accumulation with precomputed
+    ``moment_planes`` for the same radius (shared with the normals stage
+    when the radii match)."""
+    if moments is None:
+        moments = moment_planes(elevation, resolution, estimation_radius)
+    n, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz = moments
 
     nx = normals["surface_normal_x"]
     ny = normals["surface_normal_y"]
@@ -396,7 +390,15 @@ def run_chain(elevation: Array, config: ChainConfig) -> Dict[str, Array]:
     with the default chain; the DeletionFilter stage is a no-op here because
     normals never leave the traced computation unless requested.
     """
-    normals = surface_normals(elevation, config.resolution, config.normals_radius)
+    shared = (
+        moment_planes(elevation, config.resolution, config.normals_radius)
+        if config.compute_roughness
+        and config.roughness_estimation_radius == config.normals_radius
+        else None
+    )
+    normals = surface_normals(
+        elevation, config.resolution, config.normals_radius, moments=shared
+    )
     out: Dict[str, Array] = {}
     out["traversability_slope"] = slope_from_normals(
         normals["surface_normal_z"], config.slope_critical_value
@@ -416,6 +418,7 @@ def run_chain(elevation: Array, config: ChainConfig) -> Dict[str, Array]:
             config.resolution,
             config.roughness_critical_value,
             config.roughness_estimation_radius,
+            moments=shared,
         )
     if config.fusion_expression:
         # MathExpressionFilter parity: arithmetic over layer-name variables,

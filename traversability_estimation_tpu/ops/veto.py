@@ -58,15 +58,32 @@ def _count_veto_ok(layer: Array, resolution: float, n_critical: int) -> Array:
     """checkForSlope/checkForRoughness pattern: a zero cell fails iff the
     count of zero cells in a 3*res circle exceeds n_critical.
 
-    The count accumulates in f32 (exact: window counts are small integers),
-    shifting ONE 0/1 plane per offset — the bool-plane shifts of the round-3
-    version paid an f32 round-trip per offset inside `_shifted` (measured:
-    this stage ran at 52% of its bound; see ABLATE_last.json E2)."""
+    The disc count decomposes by rows: a horizontal box sum per DISTINCT row
+    span (disc rows are contiguous dj ranges; the 3-cell disc has spans of
+    width 7, 5, 1), then a vertical combine of row-shifted box sums — 16
+    plane shifts instead of 29, most in the cheap row direction. Counts are
+    small integers accumulated in f32, so any grouping is exact; measured
+    3.6x faster than the direct 29-shift accumulation and verdict-identical
+    on chip (ABLATE_last.json E8). NaN layer values compare False into
+    ``is_zero`` exactly as in the reference."""
     is_zero = layer == 0.0  # NaN compares False
     zf = is_zero.astype(jnp.float32)
-    count = jnp.zeros_like(zf)
+    rows: Dict[int, List[int]] = {}
     for di, dj in circle_offsets(3.0 * resolution, resolution).tolist():
-        count = count + _shifted(zf, di, dj, 0.0)
+        rows.setdefault(int(di), []).append(int(dj))
+    box_cache: Dict[Tuple[int, int], Array] = {}
+    count = jnp.zeros_like(zf)
+    for di in sorted(rows):
+        djs = sorted(rows[di])
+        assert djs == list(range(djs[0], djs[-1] + 1)), "disc rows contiguous"
+        key = (djs[0], djs[-1])
+        if key not in box_cache:
+            acc = jnp.zeros_like(zf)
+            for dj in range(key[0], key[1] + 1):
+                acc = acc + (zf if dj == 0 else _shifted(zf, 0, dj, 0.0))
+            box_cache[key] = acc
+        b = box_cache[key]
+        count = count + (b if di == 0 else _shifted(b, di, 0, 0.0))
     fail = is_zero & (count > jnp.float32(n_critical))
     return ~fail
 

@@ -247,27 +247,36 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
     # 13 (model_inflated), implying XLA folds ~2 of the hand-counted ops
     st_step = (3 + 2 * n_s1 + 4 * n_s2 + 11, 2, 2 * n_s1 + n_s2)
 
-    # roughness (filters.py:320-394): per offset ~12 + 2 shifted reads (same
-    # moment pattern as normals); finishing: plane residual + sqrt + map ~30
+    # roughness (filters.py roughness_layer): when its radius matches the
+    # normals radius the moment planes are computed ONCE and shared
+    # (run_chain passes moment_planes to both stages), so the shared case
+    # counts only the finishing math (~35: scatter-matrix assembly, quad
+    # form, sqrt + map); the unshared case pays the full moment loop.
     n_rgh = (
         _n_offsets(chain_cfg.roughness_estimation_radius, res)
         if chain_cfg.compute_roughness
         else 0
     )
-    st_rough = (
-        (12 * n_rgh + 30, 0, 2 * n_rgh)
-        if chain_cfg.compute_roughness
-        else (0, 0, 0)
+    moments_shared = (
+        chain_cfg.compute_roughness
+        and chain_cfg.roughness_estimation_radius == chain_cfg.normals_radius
     )
+    if not chain_cfg.compute_roughness:
+        st_rough = (0, 0, 0)
+    elif moments_shared:
+        st_rough = (35, 0, 0)
+    else:
+        st_rough = (12 * n_rgh + 30, 0, 2 * n_rgh)
 
     # fusion + NaN handling (~8)
     st_fuse = (8, 0, 0)
 
-    # veto slope/roughness counts (veto.py:57-76, f32-accumulating form):
-    # per offset 1 add + 1 shifted read; prep cmp + cast, finish cmp + 2
-    n_cnt = _n_offsets(3.0 * res, res)
+    # veto slope/roughness counts (veto.py, row-span box-sum form): the
+    # 3-cell disc decomposes into box sums per distinct row span (widths
+    # 7/5/1 -> 10 col adds + col shifts) + a vertical combine (6 row adds +
+    # row shifts); prep cmp + cast, finish cmp + 2
     mult = 2 if veto_cfg.check_roughness else 1
-    st_veto_cnt = ((n_cnt + 5) * mult, 0, n_cnt * mult)
+    st_veto_cnt = ((10 + 6 + 5) * mult, 0, 16 * mult)
 
     # step veto (veto.py:87-205, bool-plane formulation — a bit-packed int32
     # variant measured 1.5x slower, ABLATE E7), in_map folded: per walk step
