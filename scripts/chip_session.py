@@ -68,6 +68,18 @@ def main():
                 with open(out, "w") as f:
                     f.write(buf.getvalue())
                 log(buf.getvalue())
+            elif job == "bigmap":
+                import profile_bigmap
+
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    profile_bigmap.main([])
+                with open(os.path.join(_REPO, "PROF_BIGMAP.json"), "w") as f:
+                    f.write(buf.getvalue())
+                log(buf.getvalue())
             elif job == "pallas_smoke":
                 # the Pallas fused kernel reuses ops/veto compute inside its
                 # Mosaic body — confirm the (non-production) kernel still

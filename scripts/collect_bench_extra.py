@@ -176,7 +176,7 @@ def main(argv=None):
         )
         results += run_inproc(
             "rollouts[config5]", rollouts_mod.main,
-            ["--rollouts", rollouts, "--map-m", map_m, "--steps", "3",
+            ["--rollouts", rollouts, "--map-m", map_m, "--steps", "4",
              "--stages", "--json", tmp],
             json_path=tmp,
         )
@@ -184,7 +184,7 @@ def main(argv=None):
         # the best pose + aggregates fetched (VERDICT r3 weak #5)
         results += run_inproc(
             "rollouts[device-gen]", rollouts_mod.main,
-            ["--rollouts", rollouts, "--map-m", map_m, "--steps", "3",
+            ["--rollouts", rollouts, "--map-m", map_m, "--steps", "4",
              "--device-gen", "--json", tmp],
             json_path=tmp,
         )
@@ -254,6 +254,15 @@ def main(argv=None):
             return (e.get("checks_per_s"), True)
         return (None, True)
 
+    def _fail_ratio(kind):
+        # rollout scenarios compose host-RNG + device + transport variance:
+        # unchanged code measured 505-1214 ms across sessions, so their
+        # fail tier is 2x (warn 1.5x); everything else uses the per-kernel
+        # tiers (warn 1.25x, fail 1.5x — chip variance ~1.4x)
+        if kind and kind.startswith("rollouts"):
+            return 2.0, 1.5
+        return 1.5, 1.25
+
     regressions, drift = [], []
     try:
         with open(args.out) as f:
@@ -274,9 +283,10 @@ def main(argv=None):
             ratio = (old_v / new_v) if hib else (new_v / old_v)
             row = {"key": [str(x) for x in key],
                    "prev": old_v, "now": new_v, "worse_by": round(ratio, 2)}
-            if ratio > 1.5:
+            fail_at, warn_at = _fail_ratio(e.get("kind"))
+            if ratio > fail_at:
                 regressions.append(row)
-            elif ratio > 1.25:
+            elif ratio > warn_at:
                 drift.append(row)
     except (OSError, json.JSONDecodeError):
         log("no committed artifact to gate against (first run)")

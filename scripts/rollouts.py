@@ -212,8 +212,12 @@ def run_device_gen(args, est, src, robot, res):
     for step in range(args.steps):
         t_step = time.time()
         patch, _ = src.sample(tuple(robot), (6.0, 6.0))
-        est.update_with_submap(patch, tuple(robot))
-        np.asarray(est.traversability_map["traversability"][:1, :1])
+        # everything below DISPATCHES asynchronously; the whole step pays
+        # exactly ONE transport round-trip, at the final device_get.
+        # (Round-4 decomposition, PROF_BIGMAP.json: with a sync after each
+        # section the step spent 4 RTTs ~= 100 ms waiting on a ~25 ms-RTT
+        # tunnel around ~15 ms of actual device work.)
+        est.update_with_submap(patch, tuple(robot), sync=False)
         t1 = time.time()
         corners = np.array(
             [
@@ -223,7 +227,6 @@ def run_device_gen(args, est, src, robot, res):
             np.float32,
         )
         state, field = est._cropped_state_and_field(corners, radius, offset)
-        jax.block_until_ready(field)
         t2 = time.time()
         best, best_poses, best_safe, best_trav, n_safe = jax.device_get(
             score_step(
@@ -238,8 +241,8 @@ def run_device_gen(args, est, src, robot, res):
         stages["score"].append(t3 - t2)
         print(
             f"step {step}: {budgets[-1]*1e3:7.1f} ms "
-            f"(update {stages['update'][-1]*1e3:6.1f} | field "
-            f"{stages['field'][-1]*1e3:6.1f} | gen+score+fetch "
+            f"(dispatch: update {stages['update'][-1]*1e3:6.1f} | field "
+            f"{stages['field'][-1]*1e3:6.1f} | gen+score+exec+fetch "
             f"{stages['score'][-1]*1e3:6.1f}) | safe {int(n_safe):>6}/{P} "
             f"| best {float(best_trav):.3f}",
             file=sys.stderr,

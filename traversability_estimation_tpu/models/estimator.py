@@ -260,7 +260,8 @@ class TraversabilityEstimator:
         return True
 
     def update_with_submap(
-        self, patch: np.ndarray, center_xy, incremental: bool = True
+        self, patch: np.ndarray, center_xy, incremental: bool = True,
+        sync: bool = True,
     ) -> bool:
         """One online tick: merge the fresh submap and refresh traversability.
 
@@ -271,6 +272,12 @@ class TraversabilityEstimator:
         The reference recomputes the full (small, robot-centric) map each
         tick (TraversabilityMap.cpp:214); for large persistent maps the
         incremental path keeps 10 Hz at tens of millions of cells.
+
+        `sync=False` skips the trailing ``block_until_ready`` so the refresh
+        PIPELINES with whatever the caller dispatches next (on a tunneled
+        transport every forced sync costs a full RTT — measured 25 ms of the
+        config-5 step, `PROF_BIGMAP.json`); `last_update_seconds` then
+        records dispatch time only.
         """
         if self._elevation is None:
             return False
@@ -315,7 +322,8 @@ class TraversabilityEstimator:
                     new_layers[name].astype(inner.dtype), inner, (oi0, oj0)
                 )
         new_layers["elevation"] = self._elevation
-        jax.block_until_ready(new_layers["traversability"])
+        if sync:
+            jax.block_until_ready(new_layers["traversability"])
         self.last_update_seconds = time.perf_counter() - t0
 
         self._map = dataclasses.replace(self._map, layers=new_layers)
