@@ -101,6 +101,14 @@ def smallest_eigvec_planes(c00, c01, c02, c11, c12, c22, sweeps: int = 4):
     VPU and required for Mosaic (Pallas) lowering, whose vector layouts
     reject small trailing-dim concatenates. No matmuls (the TPU bf16 matmul
     default would stall convergence).
+
+    Sweep count (measured, round 4): 3 sweeps match 4 on the golden map
+    and pass the random-matrix accuracy gate, but the shallower polish
+    leaves near-tie eigenvectors ~60 ulp more sensitive to compilation-
+    dependent rounding — the fused-vs-unfused online-tick equivalence
+    drifted past its 1e-6 gate on one cell. The ~5% op saving is not worth
+    weakening cross-path agreement; 4 sweeps stays. 2 sweeps fail the
+    golden gate outright (~6e-4 good-cell error).
     """
     a = {
         (0, 0): c00, (0, 1): c01, (0, 2): c02,

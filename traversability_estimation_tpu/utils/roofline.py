@@ -224,11 +224,12 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
     """
     res = chain_cfg.resolution
 
-    # surface_normals (filters.py:172-239): per offset ~12 arithmetic ops
+    # surface_normals (filters.py): per offset ~12 arithmetic ops
     # (centered z, 9 moment accumulations with constant dx/dy folded to FMAs,
     # z*z) + 2 shifted reads (validity, elevation); finishing: 6 covariance
     # normalizations (~16), Jacobi 4 sweeps x 3 rotations x ~30 ops + eigvec
-    # pick (~380 total).
+    # pick (~380 total; 3 sweeps measured golden-identical but weaken
+    # cross-compilation eigenvector agreement — see smallest_eigvec_planes).
     n_norm = _n_offsets(chain_cfg.normals_radius, res)
     st_normals = (12 * n_norm + 16 + 380, 0, 2 * n_norm)
 
