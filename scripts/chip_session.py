@@ -68,6 +68,79 @@ def main():
                 with open(out, "w") as f:
                     f.write(buf.getvalue())
                 log(buf.getvalue())
+            elif job == "pallas_tiles":
+                # retry the fused Pallas chain at LARGER tiles (round-3
+                # blocker: Mosaic compile >20 min at (256,512); (192,256)
+                # and (256,256) untried). Compile under a wall-clock budget;
+                # if a tile compiles, slope-time it vs the XLA path.
+                import numpy as np_
+                import jax.numpy as jnp
+
+                from traversability_estimation_tpu.ops import (
+                    filters as F,
+                    pallas_chain as PC,
+                    veto as V,
+                )
+                from traversability_estimation_tpu.utils.profiling import (
+                    adaptive_slope,
+                )
+
+                rng = np_.random.default_rng(1)
+                H = W = 336
+                el = (0.1 * rng.standard_normal((H, W))).astype(np_.float32)
+                el[rng.random((H, W)) < 0.01] = np_.nan
+                elev = jnp.asarray(el)
+                ccfg = F.ChainConfig(resolution=0.03)
+                vcfg = V.VetoConfig(resolution=0.03, check_roughness=False)
+                out_rows = []
+                for tile in ((128, 128), (192, 256), (256, 256)):
+                    t0 = time.time()
+                    try:
+                        got = PC.fused_update(elev, ccfg, vcfg, tile)
+                        import jax as _jax
+
+                        _jax.block_until_ready(got["traversability"])
+                        t_compile = time.time() - t0
+
+                        def make(k, tile=tile):
+                            import jax as _j
+
+                            @_j.jit
+                            def loop(e):
+                                def body(c, _):
+                                    o = PC.fused_update(c, ccfg, vcfg, tile)
+                                    acc = jnp.zeros_like(c)
+                                    for vv in o.values():
+                                        acc = acc + (
+                                            jnp.nan_to_num(vv)
+                                            if jnp.issubdtype(
+                                                vv.dtype, jnp.floating
+                                            )
+                                            else vv.astype(jnp.float32)
+                                        )
+                                    return c + 1e-12 * acc, None
+
+                                c, _ = _j.lax.scan(body, e, None, length=k)
+                                return c[0, 0]
+
+                            return loop
+
+                        t = adaptive_slope(make, elev, 8, 24, 6e-3, log=log)
+                        row = {"tile": list(tile),
+                               "compile_s": round(t_compile, 1),
+                               "t_ms": round(t * 1e3, 4)}
+                    except Exception as e:  # noqa: BLE001
+                        row = {"tile": list(tile),
+                               "error": f"{type(e).__name__}: {e}"[:200]}
+                    log(f"pallas tile {tile}: {row}")
+                    out_rows.append(row)
+                import json as _json
+
+                with open(os.path.join(_REPO, "ABLATE_last.json"), "a") as f:
+                    for r in out_rows:
+                        f.write(_json.dumps(
+                            {"exp": "E10_pallas_tiles", "size": H, **r}
+                        ) + "\n")
             elif job == "bigmap":
                 import profile_bigmap
 

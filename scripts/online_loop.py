@@ -116,6 +116,8 @@ def main(argv=None):
     tick = 0
 
     fused = not args.no_fused
+    if args.footprint and not fused:
+        raise SystemExit("--footprint requires the fused tick (drop --no-fused)")
     pipeline = fused and not args.no_pipeline
     footprint_poly = (
         np.asarray(est.config.footprint.footprint_polygon, np.float32)

@@ -1,13 +1,18 @@
 """Fused Pallas TPU kernel for the full map update (chain + veto fields).
 
-STATUS (measured on TPU v5e, chained-scan device timing): the XLA path in
-ops.filters/ops.veto is the PRODUCTION path — XLA fuses the whole chain
-without the ~2.75x halo-redundant compute this kernel pays at 128x128 tiles
-(XLA 1.7-2.3 Gcell/s vs 0.26 Gcell/s here; both are VPU-compute-bound, so
-the redundancy factor decides). Larger tiles would cut the redundancy to
-~1.5x but Mosaic compile time for this straight-line body at (256,512)+
-tiles is pathological (>20 min). Kept as the from-scratch kernel
-demonstration and for shapes/configs where manual VMEM residency wins.
+STATUS (measured on TPU v5e, chained-scan device timing; tile sweep
+re-run round 4, ABLATE_last.json E10): the XLA path in ops.filters/
+ops.veto is the PRODUCTION path. At 336^2 the XLA fused update runs
+0.15 ms; this kernel measures 0.56 ms at (128,128) tiles, 0.38 ms at
+(192,256) — its best point — and regresses to 0.68 ms at (256,256)
+(VMEM pressure: the straight-line body keeps many tile-sized temporaries
+live). Compile times are tractable at these tiles (23/90/126 s; the
+round-3 ">20 min" pathology was specific to (256,512)). Halo redundancy
+alone (1.27-1.56x) does not explain the 2.5x gap at the best tile — the
+rest is Mosaic codegen quality on this very large unrolled stencil body
+vs XLA's full-map fusion with zero redundancy. Kept as the from-scratch
+kernel demonstration and for shapes/configs where manual VMEM residency
+wins.
 
 This kernel fuses the ENTIRE
 per-cell pipeline into one ``pallas_call``: each program DMAs one elevation
