@@ -201,6 +201,15 @@ def main(argv=None):
          "--json", tmp],
         tmp,
     )
+    # multi-chip config 5, fully fused: merge + tiled re-filter + field +
+    # device-generated rollouts + psum verdicts + on-device argmax in ONE
+    # program per step (~100 B fetched); identical program on a real slice
+    results += run_cpu_subprocess(
+        [py, "scripts/rollouts.py", "--tiled", "--cpu-mesh", "8", "--map-m",
+         "8", "--rollouts", "2048", "--poses", "6", "--steps", "3",
+         "--device-gen", "--json", tmp],
+        tmp,
+    )
     results += run_cpu_subprocess(
         [py, "scripts/scaling_bench.py", "--sizes", "1", "2", "4", "8",
          "--tile", "128", "--k1", "2", "--k2", "6"],

@@ -66,6 +66,12 @@ def run_tiled(args, elev, res):
     print(f"sharded update + field: {time.time()-t0:.2f}s (incl. compile)",
           file=sys.stderr)
 
+    if args.device_gen:
+        run_tiled_device_gen(
+            args, elev, res, mesh, ccfg, vcfg, elev_dev, layers, field, orig
+        )
+        return
+
     rng = np.random.default_rng(0)
     P, N = args.rollouts, args.poses
     # start at a traversable cell near the map center (field verdict plane)
@@ -146,6 +152,130 @@ def run_tiled(args, elev, res):
             "pose_checks_per_s": round(P * N / steady, 1),
         }
         with open(args.json, "w") as f:
+            f.write(json.dumps(blob) + "\n")
+
+
+def run_tiled_device_gen(
+    args, elev, res, mesh, ccfg, vcfg, elev_dev, layers, field, orig
+):
+    """Config 5's multi-chip shape, fully fused: ONE program per replanning
+    step does submap merge into the ('x','y')-SHARDED elevation plane +
+    tiled halo-exchange re-filter + per-tile circle field + device-generated
+    rollouts scored via the psum-tiled evaluator + on-device argmax. The
+    host uploads a 6 m patch and fetches ~100 bytes (best pose + counts) —
+    the same zero-intermediate-sync discipline as the single-chip
+    device-gen path (`PROF_BIGMAP.json`: every forced sync costs a full
+    transport RTT). `--cpu-mesh 8` runs the identical program on the
+    virtual mesh; a real slice runs it unchanged."""
+    import functools
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from traversability_estimation_tpu.parallel import sharding as sh
+    from traversability_estimation_tpu.utils.sources import (
+        SyntheticTerrainSource,
+    )
+
+    P, N = args.rollouts, args.poses
+    H, W = elev_dev.shape
+    radius, offset = 0.3, 0.15
+    max_cells = 16
+    n_poses = jnp.full((P,), N, jnp.int32)
+    gx, gy = mesh.devices.shape
+
+    # start at a traversable cell near the map center
+    ok_host = np.asarray(jax.device_get(field[0]))[: orig[0], : orig[1]]
+    ii, jj = np.nonzero(ok_host)
+    if len(ii) == 0:
+        print("no traversable cell on the map", file=sys.stderr)
+        return
+    ctr = np.array([orig[0] / 2, orig[1] / 2])
+    k = int(np.argmin((ii - ctr[0]) ** 2 + (jj - ctr[1]) ** 2))
+    half = np.array(orig) * res / 2.0
+    robot = np.array(
+        [half[0] - (ii[k] + 0.5) * res, half[1] - (jj[k] + 0.5) * res],
+        np.float64,
+    )
+    print(f"start at {robot}", file=sys.stderr)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step_fn(elevation, patch, merge_start, robot_xy, key):
+        k1, k2 = jax.random.split(key)
+        headings = jax.random.uniform(k1, (P,), minval=0.0, maxval=2 * np.pi)
+        base = jnp.stack([jnp.cos(headings), jnp.sin(headings)], -1) * 0.25
+        jitter = jax.random.uniform(
+            k2, (P, N - 1, 2), minval=-0.08, maxval=0.08
+        )
+        poses = jnp.concatenate(
+            [
+                jnp.broadcast_to(robot_xy, (P, 1, 2)),
+                robot_xy + jnp.cumsum(base[:, None, :] + jitter, axis=1),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        elev2, _layers, safe, trav = sh.sharded_online_tick(
+            elevation, patch, merge_start, poses, n_poses,
+            mesh=mesh, chain_cfg=ccfg, veto_cfg=vcfg, radius=radius,
+            offset=offset, resolution=res, max_segment_cells=max_cells,
+            orig_shape=orig,
+        )
+        score = jnp.where(safe, trav, -1.0)
+        best = jnp.argmax(score)
+        return (
+            elev2, poses[best], safe[best], trav[best],
+            jnp.sum(safe.astype(jnp.int32)),
+        )
+
+    src = SyntheticTerrainSource(resolution=res)
+    halo_guard = 0  # sharded_online_tick clamps via caller contract
+    budgets = []
+    for step in range(args.steps):
+        t0 = time.time()
+        patch, _ = src.sample(tuple(robot), (6.0, 6.0))
+        ph, pw = patch.shape
+        # patch top-left index on the padded sharded map (position (0,0)
+        # center of the ORIGINAL map), clamped fully inside
+        i0 = int(np.floor((half[0] - (robot[0] + ph * res / 2)) / res))
+        j0 = int(np.floor((half[1] - (robot[1] + pw * res / 2)) / res))
+        i0 = max(0, min(i0, H - ph))
+        j0 = max(0, min(j0, W - pw))
+        elev_dev, best_pose, best_safe, best_trav, n_safe = step_fn(
+            elev_dev, jnp.asarray(patch),
+            jnp.asarray([i0, j0], jnp.int32),
+            jnp.asarray(robot, jnp.float32), jax.random.PRNGKey(step),
+        )
+        best_pose, best_safe, best_trav, n_safe = jax.device_get(
+            (best_pose, best_safe, best_trav, n_safe)
+        )
+        budget = time.time() - t0
+        budgets.append(budget)
+        print(
+            f"step {step}: {budget*1e3:7.1f} ms | safe {int(n_safe):>6}/{P} "
+            f"| best {float(best_trav):.3f}",
+            file=sys.stderr,
+        )
+        if bool(best_safe):
+            robot = np.asarray(best_pose)[min(3, N - 1)].astype(np.float64)
+
+    steady = float(np.median(budgets[1:])) if len(budgets) > 1 else budgets[0]
+    print(
+        f"tiled device-gen replanning budget p50: {steady*1e3:.1f} ms -> "
+        f"{P * N / steady / 1e6:.1f}M pose-checks/s"
+    )
+    if args.json:
+        blob = {
+            "kind": "rollouts_tiled_device_gen",
+            "mesh": [int(gx), int(gy)],
+            "backend": jax.devices()[0].platform,
+            "map_cells": list(orig),
+            "rollouts": P,
+            "poses": N,
+            "budget_p50_ms": round(steady * 1e3, 1),
+            "pose_checks_per_s": round(P * N / steady, 1),
+        }
+        with open(args.json, "a") as f:
             f.write(json.dumps(blob) + "\n")
 
 
