@@ -185,3 +185,29 @@ class TestRecenter:
         mask_g = np.asarray(est.traversability_map["traversable_mask"])[sl]
         mask_w = np.asarray(ref.traversability_map["traversable_mask"])[sl]
         np.testing.assert_array_equal(mask_g, mask_w)
+
+
+def test_update_with_submap_sync_false_equivalent(terrain):
+    # sync=False only skips the trailing block_until_ready (the config-5
+    # pipelining lever, PROF_BIGMAP.json) — resulting layers must be
+    # identical to the synchronous path.
+    import copy
+
+    from traversability_estimation_tpu.models import TraversabilityEstimator
+    from traversability_estimation_tpu.utils.config import EstimatorConfig
+
+    cfg = EstimatorConfig(resolution=0.05)
+    base = terrain(120, 120, 0.05, seed=77, nan_frac=0.02)
+    a = TraversabilityEstimator(cfg)
+    b = TraversabilityEstimator(copy.deepcopy(cfg))
+    assert a.update(base) and b.update(base)
+    rng = np.random.default_rng(3)
+    patch = (0.06 * rng.standard_normal((30, 30))).astype(np.float32)
+    assert a.update_with_submap(patch, (0.4, -0.3), sync=True)
+    assert b.update_with_submap(patch, (0.4, -0.3), sync=False)
+    for name in a.traversability_map.layers:
+        np.testing.assert_array_equal(
+            np.asarray(a.traversability_map[name]),
+            np.asarray(b.traversability_map[name]),
+            err_msg=name,
+        )
