@@ -426,6 +426,106 @@ def main(argv=None):
                 "live": keys, "t_ms": round(t * 1e3, 4),
             })
 
+    # ------------------------------------------------------------------ E11
+    # walk candidate-combine variants: the per-(offset, allowed-direction)
+    # bool-plane OR costs ~84 shifted reads; the allowed-direction sets take
+    # only ~9 distinct values over the candidate disc, so pre-ORing one
+    # plane per SECTOR and shifting that (21 f32 shifts, conversions hoisted)
+    # does the same work. (The int32 bit-pack attempt at the same reduction
+    # lost 1.5x — E7; this stays in the bool/f32 domain XLA fuses well.)
+    if "E11" not in args.skip:
+        import math as _m
+
+        def walk_sector(elevation, step_l_in):
+            el = elevation.astype(jnp.float32)
+            step0 = step_l_in == 0.0
+            crit = jnp.float32(vcfg.critical_step_height)
+            in_map = jnp.ones(el.shape, dtype=bool)
+            dirs = V._ray_directions(vcfg)
+            ray_fail = []
+            for di, dj, K in dirs:
+                h = el
+                nb_elev = _shifted(el, di, dj, jnp.nan)
+                nb_in = _shifted(in_map, di, dj, False)
+                nb_step0 = _shifted(step0, di, dj, False)
+                trigger = nb_in & nb_step0 & (nb_elev < h - crit)
+                gap_started = jnp.zeros(el.shape, dtype=bool)
+                ended = jnp.zeros(el.shape, dtype=bool)
+                wall_fail = jnp.zeros(el.shape, dtype=bool)
+                any_gap = jnp.zeros(el.shape, dtype=bool)
+                for t in range(1, K + 1):
+                    e_t = _shifted(el, di * t, dj * t, jnp.nan)
+                    t_in = _shifted(in_map, di * t, dj * t, False)
+                    active = t_in
+                    wall_t = active & (e_t > h + crit)
+                    gap_t = active & ((e_t < h - crit) | ~jnp.isfinite(e_t))
+                    mid_t = active & ~wall_t & ~gap_t
+                    end_t = mid_t & gap_started & ~ended
+                    wall_fail = wall_fail | (wall_t & ~ended)
+                    any_gap = any_gap | (gap_t & ~ended)
+                    gap_started = gap_started | gap_t
+                    ended = ended | end_t
+                unclosed = any_gap & ~ended
+                ray_fail.append(trigger & (wall_fail | unclosed))
+
+            # group candidate offsets by their allowed-direction set; OR the
+            # member ray_fail planes ONCE per distinct set, convert to f32
+            # once, and shift the combined plane per offset
+            cand_offs = circle_offsets(2.5 * res, res).tolist()
+            sets = {}
+            for o in cand_offs:
+                oi, oj = int(o[0]), int(o[1])
+                small = _m.hypot(oi, oj) * res <= 0.025
+                allowed = tuple(
+                    d_idx for d_idx, (di, dj, _) in enumerate(dirs)
+                    if small or (oi * di + oj * dj) <= 0
+                )
+                sets.setdefault(allowed, []).append((oi, oj))
+            sector_f32 = {}
+            for allowed in sets:
+                acc = jnp.zeros(el.shape, dtype=bool)
+                for d_idx in allowed:
+                    acc = acc | ray_fail[d_idx]
+                sector_f32[allowed] = acc.astype(jnp.float32)
+
+            has_cand = jnp.zeros(el.shape, dtype=bool)
+            fail_from_cand = jnp.zeros(el.shape, dtype=bool)
+            for allowed, offs in sets.items():
+                plane = sector_f32[allowed]
+                for oi, oj in offs:
+                    c_elev = _shifted(el, oi, oj, jnp.nan)
+                    c_in = _shifted(in_map, oi, oj, False)
+                    c_step0 = _shifted(step0, oi, oj, False)
+                    active = c_in & c_step0 & (c_elev > el + crit)
+                    has_cand = has_cand | active
+                    fail_from_cand = fail_from_cand | (
+                        active & (_shifted(plane, oi, oj, 0.0) > 0.5)
+                    )
+            fail_self = jnp.zeros(el.shape, dtype=bool)
+            for rf in ray_fail:
+                fail_self = fail_self | rf
+            fail = step0 & (
+                (has_cand & fail_from_cand) | (~has_cand & fail_self)
+            )
+            return ~fail
+
+        ref_w2 = np.asarray(V.step_veto_ok(elev, step_l, vcfg))
+        got_w2 = np.asarray(walk_sector(elev, step_l))
+        for name, fn in {
+            "production": lambda c: V.step_veto_ok(
+                c, step_l + 0.0 * c[0, 0], vcfg
+            ).astype(jnp.float32),
+            "sector_or": lambda c: walk_sector(
+                c, step_l + 0.0 * c[0, 0]
+            ).astype(jnp.float32),
+        }.items():
+            t = slope(plane_loop(fn), elev)
+            emit({
+                "exp": "E11_walk_combine", "size": args.size, "variant": name,
+                "t_ms": round(t * 1e3, 4),
+                "agree": bool(np.array_equal(got_w2, ref_w2)),
+            })
+
     # ------------------------------------------------------------------ E8
     # count-veto variants: direct 29-shift disc accumulation vs a row-
     # decomposed box-sum form (box sums per distinct row width, then

@@ -190,6 +190,21 @@ def main():
                 log(f"pallas fused_update mask parity vs XLA: {ok}")
                 if not ok:
                     raise RuntimeError("pallas parity broke")
+            elif job == "ablate11":
+                # E11 only (walk candidate-combine variants), appended
+                import ablate_update
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    ablate_update.main(
+                        ["--skip", "E1", "E2", "E3", "E4", "E5", "E6", "E7",
+                         "E8"]
+                    )
+                with open(os.path.join(_REPO, "ABLATE_last.json"), "a") as f:
+                    f.write(buf.getvalue())
+                log(buf.getvalue())
             elif job == "ablate8":
                 # E8 only (count-veto variants), appended to ABLATE_last
                 import ablate_update

@@ -175,34 +175,52 @@ def step_veto_ok(
         unclosed = any_gap & ~ended
         ray_fail.append(trigger & (wall_fail | unclosed))
 
-    ray_fail_any = jnp.stack(ray_fail, axis=0)  # (D, H, W)
-
     # --- candidate window combine ---------------------------------------
+    # allowed walk directions: toCenter . vec >= 0  <=>  o . d <= 0
+    # (position axes are index axes negated); the filter is skipped when
+    # |toCenter| = |o|*res <= 0.025 (TraversabilityMap.cpp:830-831).
+    # The allowed-direction set takes only ~9 distinct values over the
+    # candidate disc (one per angular sector + the center), so the combine
+    # ORs the member ray_fail planes ONCE per sector, converts to f32 once,
+    # and shifts the combined plane per offset — ~21 shifted reads instead
+    # of ~84 per-(offset, direction) bool shifts. Measured 14% faster on
+    # the walk, cell-exact (ABLATE_last.json E11; an int32 bit-pack attempt
+    # at the same reduction lost 1.5x — E7 — XLA fuses bool/f32 better).
     cand_offs = circle_offsets(2.5 * cfg.resolution, cfg.resolution)
-    has_cand = jnp.zeros(elev.shape, dtype=bool)
-    fail_from_cand = jnp.zeros(elev.shape, dtype=bool)
+    sectors: Dict[Tuple[int, ...], List[Tuple[int, int]]] = {}
     for o in cand_offs.tolist():
         oi, oj = int(o[0]), int(o[1])
-        c_elev = _shifted(elev, oi, oj, jnp.nan)
-        c_in = _shifted(in_map, oi, oj, False)
-        c_step0 = _shifted(step0, oi, oj, False)
-        active = c_in & c_step0 & (c_elev > elev + crit)
-        has_cand = has_cand | active
-        # allowed walk directions: toCenter . vec >= 0  <=>  o . d <= 0
-        # (position axes are index axes negated); the filter is skipped when
-        # |toCenter| = |o|*res <= 0.025 (TraversabilityMap.cpp:830-831)
         to_center_small = math.hypot(oi, oj) * cfg.resolution <= 0.025
-        fail_d = jnp.zeros(elev.shape, dtype=bool)
-        for d_idx, (di, dj, _) in enumerate(dirs):
-            if not to_center_small and (oi * di + oj * dj) > 0:
-                continue
-            fail_d = fail_d | _shifted(ray_fail_any[d_idx], oi, oj, False)
-        fail_from_cand = fail_from_cand | (active & fail_d)
+        allowed = tuple(
+            d_idx for d_idx, (di, dj, _) in enumerate(dirs)
+            if to_center_small or (oi * di + oj * dj) <= 0
+        )
+        sectors.setdefault(allowed, []).append((oi, oj))
+    sector_f32: Dict[Tuple[int, ...], Array] = {}
+    for allowed in sectors:
+        acc = jnp.zeros(elev.shape, dtype=bool)
+        for d_idx in allowed:
+            acc = acc | ray_fail[d_idx]
+        sector_f32[allowed] = acc.astype(jnp.float32)
+
+    has_cand = jnp.zeros(elev.shape, dtype=bool)
+    fail_from_cand = jnp.zeros(elev.shape, dtype=bool)
+    for allowed, offs in sectors.items():
+        plane = sector_f32[allowed]
+        for oi, oj in offs:
+            c_elev = _shifted(elev, oi, oj, jnp.nan)
+            c_in = _shifted(in_map, oi, oj, False)
+            c_step0 = _shifted(step0, oi, oj, False)
+            active = c_in & c_step0 & (c_elev > elev + crit)
+            has_cand = has_cand | active
+            fail_from_cand = fail_from_cand | (
+                active & (_shifted(plane, oi, oj, 0.0) > 0.5)
+            )
 
     # self-fallback (no candidate): all directions allowed, relative to self
     fail_self = jnp.zeros(elev.shape, dtype=bool)
-    for d_idx in range(len(dirs)):
-        fail_self = fail_self | ray_fail_any[d_idx]
+    for rf in ray_fail:
+        fail_self = fail_self | rf
 
     # logical ops, not jnp.where: Mosaic cannot lower select on i1 vectors
     fail = step0 & ((has_cand & fail_from_cand) | (~has_cand & fail_self))
