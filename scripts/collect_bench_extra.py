@@ -69,7 +69,7 @@ def run_inproc(name, main_fn, argv, json_path=None, capture_stdout=False):
     except Exception as e:  # noqa: BLE001 — keep collecting other scenarios
         log(f"   {name} FAILED: {type(e).__name__}: {e}")
         return [{"kind": "error", "scenario": name,
-                 "error": f"{type(e).__name__}: {e}"}]
+                 "error": f"{type(e).__name__}: {e}"[:300]}]
     if json_path and os.path.exists(json_path):
         with open(json_path) as f:
             out += [json.loads(line) for line in f if line.strip()]
@@ -188,6 +188,22 @@ def main(argv=None):
              "--device-gen", "--json", tmp],
             json_path=tmp,
         )
+        # the fully-fused MULTI-CHIP config-5 program on the real chip
+        # (mesh 1x1): merge + tiled re-filter + field + device-gen rollouts
+        # + psum verdicts + argmax in one program per step — the exact code
+        # path a real slice runs, measured where hardware exists. 60 m map:
+        # the tiled mode computes the dense field over the WHOLE per-device
+        # tile (its point is that tiles shrink with the mesh); at 200 m a
+        # 1x1 "mesh" tile's ~100 full-plane field temporaries exceed one
+        # chip's HBM (measured: 17.3 of 15.75 GB). One chip at 200 m uses
+        # the default query-cropped mode instead.
+        results += run_inproc(
+            "rollouts[tiled-device-gen,tpu]", rollouts_mod.main,
+            ["--tiled", "--rollouts", rollouts, "--map-m",
+             "30" if args.quick else "60",
+             "--steps", "4", "--device-gen", "--json", tmp],
+            json_path=tmp,
+        )
         results += run_inproc(
             "scaling_bench[tpu,1]", scaling_bench.main,
             ["--backend", "tpu", "--sizes", "1", "--tile",
@@ -266,8 +282,13 @@ def main(argv=None):
     def _fail_ratio(kind):
         # rollout scenarios compose host-RNG + device + transport variance:
         # unchanged code measured 505-1214 ms across sessions, so their
-        # fail tier is 2x (warn 1.5x); everything else uses the per-kernel
-        # tiers (warn 1.25x, fail 1.5x — chip variance ~1.4x)
+        # fail tier is 2x (warn 1.5x). scaling_tiled_query iterates in
+        # 0.03-0.07 ms — jitter-dominated through the tunnel; unchanged
+        # code measured 34-73 M checks/s across sessions -> fail 2.5x.
+        # Everything else uses the per-kernel tiers (warn 1.25x, fail
+        # 1.5x — chip variance ~1.4x).
+        if kind == "scaling_tiled_query":
+            return 2.5, 1.8
         if kind and kind.startswith("rollouts"):
             return 2.0, 1.5
         return 1.5, 1.25

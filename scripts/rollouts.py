@@ -430,7 +430,11 @@ def main(argv=None):
         "(never replicated) and score rollouts with pmin/psum verdict "
         "reductions (parallel/sharding.check_*_paths_tiled). On one chip the "
         "mesh is 1x1; on the virtual 8-device CPU mesh this exercises the "
-        "full config-5 distributed path.",
+        "full config-5 distributed path. NOTE: the tiled field is computed "
+        "over the whole PER-DEVICE tile, so the per-device tile must fit "
+        "~100 plane temporaries in HBM — a 1x1 'mesh' at 200 m OOMs one "
+        "v5e chip (measured 17.3/15.75 GB); use the default query-cropped "
+        "mode on a single chip at that scale.",
     )
     ap.add_argument(
         "--cpu-mesh",
