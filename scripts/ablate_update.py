@@ -25,6 +25,18 @@ E5  output-count ablation  fused update consuming 1/3/5/7/all output planes —
 E6  split vs barriers    one fused graph vs optimization_barrier between
                          chain and veto vs barrier after every stage vs two
                          separate compiled programs with HBM materialization.
+E7  walk variants        round-3 bool-plane walk vs the packed int32
+                         bit-pack rewrite (verdict: bit-pack 1.5x SLOWER;
+                         the production code reverted to bool planes).
+E8  count-veto variants  direct 29-shift disc vs row-span box sums
+                         (verdict: box sums 3.6x faster, exact — promoted).
+E10 pallas tile sweep    the fused Pallas chain at (128,128)/(192,256)/
+                         (256,256) tiles vs the XLA path (via
+                         chip_session.py pallas_tiles; verdict: best tile
+                         still 2.5x slower — XLA stays production).
+E11 walk combine         per-(offset, direction) bool shifts vs sector-
+                         grouped OR planes (verdict: sectors 14% faster,
+                         exact — promoted).
 
 Timing: two-point chained-scan slope everywhere (docs/DESIGN.md §5).
 Output: one JSON line per experiment row; run via scripts/chip_session.py
