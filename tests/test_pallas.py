@@ -87,9 +87,12 @@ def test_pallas_circle_field_matches_xla(terrain, monkeypatch, radius_min):
     np.testing.assert_array_equal(np.asarray(tv_x), np.asarray(tv_p))
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "cpu",
+    reason="available() legitimately returns True on a TPU host",
+)
 def test_available_false_on_cpu_backend():
     # VERDICT r3 weak #6: `available()` used to be `... or True` — a
     # tautology. The compiled kernel path needs Mosaic (TPU); the CPU test
     # backend must report unavailable.
-    assert jax.devices()[0].platform == "cpu"
     assert pc.available() is False

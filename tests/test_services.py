@@ -387,3 +387,47 @@ class TestOnlineTickCompileStability:
             1 for i in range(1, len(marks)) if marks[i] != marks[i - 1]
         )
         assert growths <= 1, f"window mark grew {growths} times: {marks}"
+
+    def test_overcap_batch_does_not_poison_window_mark(
+        self, terrain, monkeypatch
+    ):
+        """ADVICE r4 (medium): one outlier batch whose window busts
+        _GROUPED_ELEMS_CAP must fall back for THAT tick only — persisting
+        the inflated mark would push every later tick's pwindow over the
+        cap and permanently degrade to _unfused()."""
+        import traversability_estimation_tpu.models.estimator as est_mod
+
+        cfg = EstimatorConfig(resolution=self.RES)
+        est = TraversabilityEstimator(cfg)
+        assert est.update(terrain(200, 200, self.RES, seed=32, nan_frac=0.02))
+        fp = np.array(
+            [[0.12, 0.08], [0.12, -0.08], [-0.12, -0.08], [-0.12, 0.08]],
+            np.float32,
+        )
+        patch = np.zeros((40, 40), np.float32)
+        P, N = 8, 4
+
+        def batch(span):
+            starts = np.linspace(-span, span, P)[:, None].repeat(2, 1)
+            poses = starts[:, None] + np.linspace(0, span / 4, N)[None, :, None]
+            return poses.astype(np.float32)
+
+        n = np.full((P,), N, np.int32)
+        assert est.online_tick(patch, (0.0, 0.0), batch(0.1), n, footprint=fp)
+        mark_before = dict(est._pwindow_hwm)
+        assert mark_before, "normal tick should establish a window mark"
+        # cap chosen so the established mark passes but a map-spanning
+        # outlier batch (window ~ whole map) busts it
+        (hwm,) = mark_before.values()
+        monkeypatch.setattr(
+            est_mod, "_GROUPED_ELEMS_CAP", hwm[0] * hwm[1] * P
+        )
+        out = est.online_tick(patch, (0.0, 0.0), batch(2.0), n, footprint=fp)
+        assert out is not None  # outlier tick still answered (fallback)
+        assert est._pwindow_hwm == mark_before, (
+            "over-cap batch poisoned the high-water mark: "
+            f"{mark_before} -> {est._pwindow_hwm}"
+        )
+        # and the next normal tick still fits under the cap with the old mark
+        assert est.online_tick(patch, (0.0, 0.0), batch(0.1), n, footprint=fp)
+        assert est._pwindow_hwm == mark_before

@@ -97,3 +97,31 @@ def test_footprint_parity_layers(golden_map):
     nonzero = ~(layers["traversability_step"] == 0.0)
     assert not np.isfinite(sf[nonzero]).any()
     assert np.isfinite(sf[~nonzero]).all()
+
+
+def test_step_walk_v1_v2_cell_identical(terrain):
+    """Round-5 sentinel-folded walk (step_veto_ok) must be cell-exact with
+    the round-4 bool-plane formulation (step_veto_ok_v1) — including the
+    sharded case where in_map carries real out-of-global padding."""
+    from traversability_estimation_tpu.ops.veto import step_veto_ok, step_veto_ok_v1
+
+    res = 0.03
+    rng = np.random.default_rng(17)
+    for nan_frac in (0.0, 0.08, 0.3):
+        elev = terrain(72, 88, res, seed=int(nan_frac * 100) + 3, nan_frac=nan_frac)
+        step_l = (0.5 + 0.5 * rng.random(elev.shape)).astype(np.float32)
+        step_l[rng.random(elev.shape) < 0.4] = 0.0
+        cfg = VetoConfig(resolution=res)
+        a = np.asarray(step_veto_ok(jnp.asarray(elev), jnp.asarray(step_l), cfg))
+        b = np.asarray(step_veto_ok_v1(jnp.asarray(elev), jnp.asarray(step_l), cfg))
+        np.testing.assert_array_equal(a, b)
+        in_map = np.ones(elev.shape, bool)
+        in_map[:9] = False
+        in_map[:, -6:] = False
+        a = np.asarray(
+            step_veto_ok(jnp.asarray(elev), jnp.asarray(step_l), cfg, jnp.asarray(in_map))
+        )
+        b = np.asarray(
+            step_veto_ok_v1(jnp.asarray(elev), jnp.asarray(step_l), cfg, jnp.asarray(in_map))
+        )
+        np.testing.assert_array_equal(a, b)

@@ -478,9 +478,13 @@ class TraversabilityEstimator:
                 ((max(pwindow[0], hwm[0]) + 15) // 16) * 16,
                 ((max(pwindow[1], hwm[1]) + 15) // 16) * 16,
             )
-            self._pwindow_hwm[hwm_key] = pwindow
             if pwindow[0] * pwindow[1] * poses.shape[0] > _GROUPED_ELEMS_CAP:
+                # over-cap batch: fall back for THIS tick only. Persisting the
+                # mark first would let one outlier batch (long path extents)
+                # inflate the monotone mark past the cap and poison every
+                # subsequent tick into _unfused() (ADVICE r4 medium).
                 return _unfused()
+            self._pwindow_hwm[hwm_key] = pwindow
             translate_only = identity and not conservative
 
         crop_shape = (ph + 4 * halo, pw + 4 * halo)

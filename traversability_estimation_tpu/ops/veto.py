@@ -113,7 +113,138 @@ def step_veto_ok(
     cfg: VetoConfig,
     in_map: Optional[Array] = None,
 ) -> Array:
+    """checkForStep (TraversabilityMap.cpp:794-865) as a dense field —
+    round-5 sentinel-folded formulation.
+
+    Cell-exact with :func:`step_veto_ok_v1` (tested; chip agree-check in
+    ABLATE E12) but reads ~104 shifted planes instead of ~236:
+
+    - ``selev`` = elevation where the cell is a legal drop/candidate cell
+      (step == 0, inside the global map), NaN otherwise. One shifted compare
+      against it replaces the old (elev, in_map, step0) TRIPLE of shifted
+      planes for both the trigger test and the candidate-window test — and
+      the 8 trigger offsets are a subset of the 2.5*res candidate disc, so
+      XLA CSE shares those shifts outright.
+    - ``welev`` = elevation with in-map-invalid cells coded -inf ("gap") and
+      out-of-global cells coded NaN ("walk ends"); the walk reads ONE
+      shifted plane per (direction, step) instead of two, and the
+      wall/gap/active states are three compares on it (NaN compares false
+      everywhere, so out-of-map is never wall/gap/mid — exactly the
+      reference's prefix-closed line iteration).
+
+    Per cell q with step == 0: candidate cells c in a 2.5*res circle that
+    are higher than q by the critical step (fallback: q itself); per
+    candidate, 8 bounded ray walks relative to the candidate's elevation; a
+    ray FAILS on a blocking wall before the gap closes, or on a gap that
+    never closes within max_gap_width. q is untraversable iff any active
+    (candidate, ray) fails.
+
+    `in_map` marks cells inside the GLOBAL map (all True for an unsharded
+    map — in that case the border coding comes free from the shift fill
+    value and no in_map plane exists at all).
+    """
+    elev = elevation.astype(jnp.float32)
+    step0 = step_layer == 0.0
+    crit = jnp.float32(cfg.critical_step_height)
+
+    if in_map is None:
+        selev = jnp.where(step0, elev, jnp.nan)
+        welev = jnp.where(jnp.isfinite(elev), elev, -jnp.inf)
+    else:
+        selev = jnp.where(step0 & in_map, elev, jnp.nan)
+        welev = jnp.where(
+            in_map,
+            jnp.where(jnp.isfinite(elev), elev, -jnp.inf),
+            jnp.nan,
+        )
+
+    dirs = _ray_directions(cfg)
+
+    # --- per-cell, per-direction ray analysis (thresholds rel. to own cell) -
+    ray_fail = []
+    for di, dj, K in dirs:
+        h = elev
+        # direction triggers iff neighbor (the submap drop cell) exists, has
+        # step == 0, and is lower than the candidate by > critical — one
+        # shifted read of the sentinel plane (NaN compares false).
+        trigger = _shifted(selev, di, dj, jnp.nan) < h - crit
+
+        gap_started = jnp.zeros(elev.shape, dtype=bool)
+        ended = jnp.zeros(elev.shape, dtype=bool)
+        wall_fail = jnp.zeros(elev.shape, dtype=bool)
+        any_gap = jnp.zeros(elev.shape, dtype=bool)
+        for t in range(1, K + 1):
+            w_t = _shifted(welev, di * t, dj * t, jnp.nan)
+            wall_t = w_t > h + crit          # NaN/-inf -> False
+            gap_t = w_t < h - crit           # -inf -> True, NaN -> False
+            mid_t = ~jnp.isnan(w_t) & ~wall_t & ~gap_t
+            end_t = mid_t & gap_started & ~ended
+            # wall cells checked only until the loop breaks at the gap end
+            wall_fail = wall_fail | (wall_t & ~ended)
+            any_gap = any_gap | (gap_t & ~ended)
+            gap_started = gap_started | gap_t
+            ended = ended | end_t
+        unclosed = any_gap & ~ended
+        ray_fail.append(trigger & (wall_fail | unclosed))
+
+    # --- candidate window combine ---------------------------------------
+    # allowed walk directions: toCenter . vec >= 0  <=>  o . d <= 0; the
+    # filter is skipped when |toCenter| <= 0.025 (TraversabilityMap.cpp:
+    # 830-831). Sector-grouped OR planes as in round 4 (ABLATE E11); the
+    # (0,0) offset can never be an ACTIVE candidate (elev > elev + crit is
+    # false, NaN-sentinel included) so it is skipped outright.
+    cand_offs = circle_offsets(2.5 * cfg.resolution, cfg.resolution)
+    sectors: Dict[Tuple[int, ...], List[Tuple[int, int]]] = {}
+    for o in cand_offs.tolist():
+        oi, oj = int(o[0]), int(o[1])
+        if oi == 0 and oj == 0:
+            continue
+        to_center_small = math.hypot(oi, oj) * cfg.resolution <= 0.025
+        allowed = tuple(
+            d_idx for d_idx, (di, dj, _) in enumerate(dirs)
+            if to_center_small or (oi * di + oj * dj) <= 0
+        )
+        sectors.setdefault(allowed, []).append((oi, oj))
+    sector_f32: Dict[Tuple[int, ...], Array] = {}
+    for allowed in sectors:
+        acc = jnp.zeros(elev.shape, dtype=bool)
+        for d_idx in allowed:
+            acc = acc | ray_fail[d_idx]
+        sector_f32[allowed] = acc.astype(jnp.float32)
+
+    has_cand = jnp.zeros(elev.shape, dtype=bool)
+    fail_from_cand = jnp.zeros(elev.shape, dtype=bool)
+    for allowed, offs in sectors.items():
+        plane = sector_f32[allowed]
+        for oi, oj in offs:
+            active = _shifted(selev, oi, oj, jnp.nan) > elev + crit
+            has_cand = has_cand | active
+            fail_from_cand = fail_from_cand | (
+                active & (_shifted(plane, oi, oj, 0.0) > 0.5)
+            )
+
+    # self-fallback (no candidate): all directions allowed, relative to self
+    fail_self = jnp.zeros(elev.shape, dtype=bool)
+    for rf in ray_fail:
+        fail_self = fail_self | rf
+
+    # fail_from_cand implies has_cand, so the (has_cand & .) guard is free;
+    # logical ops, not jnp.where: Mosaic cannot lower select on i1 vectors
+    fail = step0 & (fail_from_cand | (~has_cand & fail_self))
+    return ~fail
+
+
+def step_veto_ok_v1(
+    elevation: Array,
+    step_layer: Array,
+    cfg: VetoConfig,
+    in_map: Optional[Array] = None,
+) -> Array:
     """checkForStep (TraversabilityMap.cpp:794-865) as a dense field.
+
+    Round-4 production formulation, retained verbatim as the A/B referee for
+    the sentinel-folded :func:`step_veto_ok` (chip rows in ABLATE E12; the
+    two are asserted cell-identical in tests/test_veto.py).
 
     Per cell q with step == 0: candidate cells c in a 2.5*res circle that are
     higher than q by the critical step (fallback: q itself); per candidate, 8

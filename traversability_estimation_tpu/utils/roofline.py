@@ -107,7 +107,12 @@ def measure_vpu_bool_ops(k1: int = 16, k2: int = 64) -> float:
                     c = c & operands[i % 8]
                     c = c | operands[(i + 3) % 8]
                     c = c ^ operands[(i + 5) % 8]
-                    c = c | (operands[(i + 1) % 8] & ~c)
+                    # andnot + xor, both involving the carry so neither the
+                    # algebraic simplifier (x | (y & ~x) == x | y — the fold
+                    # the previous form was exposed to, ADVICE r4) nor
+                    # loop-invariant hoisting (a & ~b with a,b constants)
+                    # can remove issue slots from the chain.
+                    c = (operands[(i + 1) % 8] & ~c) ^ operands[(i + 2) % 8]
                 return c, None
 
             c, _ = jax.lax.scan(body, x, None, length=k)
@@ -115,7 +120,7 @@ def measure_vpu_bool_ops(k1: int = 16, k2: int = 64) -> float:
 
         return loop
 
-    # the andnot line is 2 ops -> 5 ops per 4-line group
+    # the andnot+xor line is 2 ops -> 5 ops per 4-line group
     total_ops = (ops_per_iter // 4) * 5
     t1 = _timed_min(make(k1), operands[7])
     t2 = _timed_min(make(k2), operands[7])
@@ -279,21 +284,24 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
     mult = 2 if veto_cfg.check_roughness else 1
     st_veto_cnt = ((10 + 6 + 5) * mult, 0, 16 * mult)
 
-    # step veto (veto.py:87-205, bool-plane formulation — a bit-packed int32
-    # variant measured 1.5x slower, ABLATE E7), in_map folded: per walk step
-    # 3 f32 compares (wall, NaN, gap) + ~11 mask ops + 1 shifted elevation
-    # read; triggers 8 x (cmp + and) (elev shift CSE'd with the t=1 walk
-    # read, step0 shift counted); candidate combine per offset 1 cmp + ~8
-    # masks + 2 shifted reads (elev, step0) + ~4 shifted bool fail planes;
-    # threshold planes 2; self-fallback 8 + final ~5.
+    # step veto (veto.py step_veto_ok, round-5 sentinel-folded formulation;
+    # the round-4 bool-plane form is step_veto_ok_v1, A/B'd in ABLATE E12;
+    # a bit-packed int32 variant measured 1.5x slower, ABLATE E7):
+    # sentinel planes selev/welev ~6 f32 ops once; per walk step 1 shifted
+    # welev read + 3 f32 compares (wall, gap, isnan) + ~9 mask ops;
+    # triggers 8 x (cmp on a shifted selev read shared with the candidate
+    # disc) + ~3 masks each; candidate combine per non-center offset 2
+    # shifted reads (selev — 8 of the 20 shared with triggers — and the
+    # sector fail plane) + 2 cmps + ~3 masks; sector-plane builds ~45 bool
+    # + casts; self-fallback 8 + final ~4.
     from traversability_estimation_tpu.ops.veto import _ray_directions
 
     walk_steps = sum(k for _, _, k in _ray_directions(veto_cfg))
-    n_cand = _n_offsets(2.5 * res, res)
+    n_cand_nc = _n_offsets(2.5 * res, res) - 1  # (0,0) never a candidate
     st_walk = (
-        3 * walk_steps + 8 + n_cand + 2,
-        11 * walk_steps + 2 * 8 + 8 * n_cand + 8 + 5,
-        walk_steps + 8 + 6 * n_cand,
+        3 * walk_steps + 8 + 2 * n_cand_nc + 6,
+        9 * walk_steps + 3 * 8 + 3 * n_cand_nc + 45 + 8 + 4,
+        walk_steps + 2 * n_cand_nc,
     )
 
     breakdown = {
