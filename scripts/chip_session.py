@@ -58,14 +58,13 @@ def main():
             elif job == "profile":
                 import profile_grouped
 
-                out = os.path.join("/tmp", "prof_grouped.json")
                 import contextlib
                 import io
 
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     profile_grouped.main([])
-                with open(out, "w") as f:
+                with open(os.path.join(_REPO, "PROF_GROUPED.json"), "w") as f:
                     f.write(buf.getvalue())
                 log(buf.getvalue())
             elif job == "pallas_tiles":

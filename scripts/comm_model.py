@@ -43,6 +43,15 @@ ICI_BW = 4.5e10          # B/s one-way per link
 ICI_HOP_LATENCY = 1e-6   # s per hop
 F32 = 4
 
+# DCN tier (VERDICT r4 missing #1): cross-HOST mesh edges ride the
+# data-center network, not ICI. Public anchors ("How to Scale Your Model",
+# production v5e pods): ~100-200 Gbit/s NIC per host, one-way latency in
+# the tens of microseconds. Both the conservative and the optimistic
+# bandwidth are emitted so the prediction brackets the hardware.
+DCN_BW_LO = 1.25e10      # B/s per host (100 Gbit/s, conservative)
+DCN_BW_HI = 2.5e10       # B/s per host (200 Gbit/s)
+DCN_LATENCY = 25e-6      # s one-way
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -159,12 +168,21 @@ def main(argv=None):
         })
 
     # ---- 4. tiled-query collectives -------------------------------------
+    from traversability_estimation_tpu.parallel.sharding import (
+        _PATH_REDUCE_SAMPLES,
+    )
+
     Pn, N, MC = args.paths, args.poses, args.max_cells
     S = (MC + 3) // 4
     samples = Pn * max(N - 1, 1) * S
-    # three f32 psums (ok, trav, owner); ring all-reduce moves 2(D-1)/D of
-    # the buffer per device
-    psum_bytes_1 = 3 * samples * F32
+    # bytes model follows the code's mode switch: below the threshold, two
+    # per-sample f32 psums (ok, trav — the round-4 owner psum is now
+    # analytic); above it, ONE stacked (P, 4) per-path partial psum
+    # (body_paths). Ring all-reduce moves 2(D-1)/D of the buffer per device.
+    if samples >= _PATH_REDUCE_SAMPLES:
+        psum_bytes_1 = 4 * Pn * F32
+    else:
+        psum_bytes_1 = 2 * samples * F32
     # sharded-raster mode adds the s_cells/masks all-gather
     ag_cells_bytes = samples * 2 * F32 + samples * 1 + Pn * (N - 1) * 1
     for mesh_n in (2, 4, 8):
@@ -206,7 +224,10 @@ def main(argv=None):
         st = dg["stage_p50_ms"]
         n = 8
         samples5 = dg["rollouts"] * (dg["poses"] - 1) * 4
-        psum5 = 3 * samples5 * F32 * 2 * (n - 1) / n
+        # config-5 batches are far above _PATH_REDUCE_SAMPLES: the psum is
+        # the stacked (rollouts, 4) per-path partial buffer (round 5), not
+        # the round-4 per-sample planes
+        psum5 = 4 * dg["rollouts"] * F32 * 2 * (n - 1) / n
         t_ps5 = comm_time(psum5, hops=n - 1)
         proj = (
             st["update"] / n + t_halo * 1e3
@@ -224,6 +245,92 @@ def main(argv=None):
             "sharded raster); the verdict psums dominate the added comm",
         })
 
+    # ---- 6. DCN tier: 2-host predictions vs the >=80% BASELINE target ---
+    # Topology: 2 hosts, --dcn-devices chips each, map split host-by-host
+    # on the row axis; the one cross-host mesh edge pays DCN for its halo
+    # strips / reduced psum buffers (in-host reduction rides ICI first —
+    # hierarchical collectives, XLA's default on multi-host meshes).
+    Dh = 4  # devices per host (v5e-4 per host is the smallest pod unit)
+
+    def dcn_rows(name, cross_bytes_per_host, t_compute_ms, overlap_ms=None):
+        """Two rows (lo/hi DCN bandwidth). Efficiency bars:
+        - no_overlap: comm serialized after compute;
+        - overlapped: the stencil's interior work (overlap_ms, defaults to
+          0.9 * compute) hides comm issued first — the standard halo
+          pattern the sharded update already uses (strips are slices, the
+          exchange can be issued before interior compute)."""
+        hide = 0.9 * t_compute_ms if overlap_ms is None else overlap_ms
+        out = []
+        for bw, tag in ((DCN_BW_LO, "100Gb"), (DCN_BW_HI, "200Gb")):
+            t_dcn = (cross_bytes_per_host / bw + DCN_LATENCY) * 1e3  # ms
+            eff_serial = t_compute_ms / (t_compute_ms + t_dcn)
+            eff_overlap = t_compute_ms / (
+                t_compute_ms + max(0.0, t_dcn - hide)
+            )
+            out.append({
+                "kind": "comm_model_dcn", "collective": name, "hosts": 2,
+                "devices_per_host": Dh, "dcn": tag,
+                "cross_bytes_per_host": int(cross_bytes_per_host),
+                "t_dcn_ms": round(t_dcn, 4),
+                "t_compute_ms": round(t_compute_ms, 4),
+                "predicted_2host_efficiency_no_overlap": round(eff_serial, 3),
+                "predicted_2host_efficiency_overlapped": round(eff_overlap, 3),
+                "meets_80pct_target": bool(eff_overlap >= 0.80),
+            })
+        return out
+
+    # (a) weak-scaling sharded update: boundary devices exchange h x T
+    #     strips with the peer host (send + recv), Dh tiles side by side
+    #     along the cut
+    upd_cross = F32 * 2 * h * T * Dh
+    rows += dcn_rows("sharded_update_2host", upd_cross, t_upd)
+
+    # (b) config 4 online tick at 50 m (1667^2): per-tick halo strips along
+    #     the cut (full map width) + the tick's verdict psum (reduced
+    #     in-host over ICI first; the cross-host leg moves ONE reduced
+    #     buffer each way). Compute anchor: the measured fused-tick
+    #     dispatch p50 from the committed online_loop row.
+    t_tick = None
+    paths_tick, poses_tick = 256, 10
+    try:
+        with open(os.path.join(_REPO, "BENCH_extra.json")) as f:
+            entries4 = json.load(f)["entries"]
+        ol = next(
+            (e for e in entries4 if e.get("kind") == "online_loop"
+             and not e.get("free_run") and e.get("query") == "circular"
+             and e.get("mode") == "persistent_map"),
+            None,
+        )
+        if ol:
+            t_tick = ol["update_ms"]["p50_ms"]
+            paths_tick = ol.get("paths_per_tick", 256)
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
+    if t_tick is None:
+        t_tick = 2.4  # BENCH_extra r4 fused-tick dispatch p50
+    Wmap = 1667
+    tick_halo = F32 * 2 * h * Wmap
+    tick_psum = 3 * paths_tick * max(poses_tick - 1, 1) * 4 * F32
+    rows += dcn_rows(
+        "config4_online_tick_2host", tick_halo + tick_psum, t_tick
+    )
+
+    # (c) config 5 rollouts: stages divide by 2*Dh devices; the cross-host
+    #     leg moves the in-host-reduced verdict psum buffer once each way.
+    #     Psums cannot hide behind the score stage that produces them, so
+    #     the overlap credit is the update+field stages only.
+    if dg and "stage_p50_ms" in dg:
+        st5 = dg["stage_p50_ms"]
+        n_dev = 2 * Dh
+        # per-PATH partial psum (round 5, body_paths): the cross-host leg
+        # moves the in-host-reduced (rollouts, 4) f32 buffer once each way
+        psum_buf = 4 * dg["rollouts"] * F32
+        compute5 = (st5["update"] + st5["field"] + st5["score"]) / n_dev
+        rows += dcn_rows(
+            "config5_rollouts_2host", 2 * psum_buf, compute5,
+            overlap_ms=(st5["update"] + st5["field"]) / n_dev,
+        )
+
     summary = {
         "kind": "comm_model_summary",
         "ici_bw_per_link_Bps": ICI_BW,
@@ -233,6 +340,18 @@ def main(argv=None):
                 "predicted_weak_efficiency"
             ],
             "field_halo_us": rows[1]["t_comm_us"],
+            "dcn_2host": {
+                r["collective"]: {
+                    "overlapped": r[
+                        "predicted_2host_efficiency_overlapped"
+                    ],
+                    "no_overlap": r[
+                        "predicted_2host_efficiency_no_overlap"
+                    ],
+                }
+                for r in rows
+                if r.get("kind") == "comm_model_dcn" and r["dcn"] == "100Gb"
+            },
         },
         "contrast": "virtual-CPU-mesh efficiencies in BENCH_extra measure "
         "single-socket collective infrastructure (psum-only floor grows "

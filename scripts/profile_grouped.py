@@ -136,6 +136,26 @@ def main(argv=None):
     report("D rotated, translate_only (skips hull; timing-only)",
            slope(grouped_loop(qrot_dev, win_rot, True), pos3))
 
+    # round-5 (VERDICT r4 weak #2) — B2: exact realized-yaw window (valid
+    # verdicts, production candidate); B3/B4: window-fetch materialization
+    # variants at the exact window; A2/A3: the same fetch variants on the
+    # identity fast path
+    pos3_np = np.asarray(pos3)
+    win_exact = fp_ops.path_group_window_exact(footprint, pos3_np, qrot, res)
+    log(f"exact rotated window: {win_exact} "
+        f"(area x{win_exact[0]*win_exact[1]/(win_rot[0]*win_rot[1]):.2f} of worst-case)")
+    report("B2 rotated, exact window",
+           slope(grouped_loop(qrot_dev, win_exact, False), pos3))
+    for mode, tag in (("transpose", "B3"), ("rowgather", "B4")):
+        fp_ops._WINDOW_FETCH_MODE = mode
+        report(f"{tag} rotated, exact window, fetch={mode}",
+               slope(grouped_loop(qrot_dev, win_exact, False), pos3))
+    for mode, tag in (("transpose", "A2"), ("rowgather", "A3")):
+        fp_ops._WINDOW_FETCH_MODE = mode
+        report(f"{tag} identity translate_only, fetch={mode}",
+               slope(grouped_loop(qid_dev, win_id, True), pos3))
+    fp_ops._WINDOW_FETCH_MODE = "fused"
+
     # H: rotated with per-(path, segment-block) windows — the candidate fix:
     # block hulls span ~8 segments, so the span evaluator's window area (its
     # cost driver) shrinks ~3x; trades one window fetch per path for one per

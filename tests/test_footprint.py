@@ -454,3 +454,61 @@ class TestGroupedPaths:
 
     def test_rotated_conservative(self, setup, rng):
         self._run(setup, rng, identity=False, conservative=True)
+
+    def test_exact_window_and_fetch_modes(self, setup, rng, monkeypatch):
+        """Round-5 rotated-window work (VERDICT r4 weak #2): the exact
+        realized-yaw window must be no larger than the worst-case-rotation
+        bound and verdict/score/area-identical; the three window-fetch
+        materializations must be bit-identical."""
+        m, layers, state, fresh_oracle = setup
+        fp = np.array(
+            [[0.2, 0.12], [0.2, -0.12], [-0.2, -0.12], [-0.2, 0.12]], np.float32
+        )
+        P, N = 24, 5
+        starts = np.stack(
+            [rng.uniform(-0.9, 0.9, P), rng.uniform(-1.3, 1.3, P)], axis=-1
+        )
+        steps = rng.uniform(-0.2, 0.2, size=(P, N - 1, 2))
+        poses2 = np.concatenate(
+            [starts[:, None, :], starts[:, None, :] + np.cumsum(steps, axis=1)],
+            axis=1,
+        )
+        pos3 = np.concatenate(
+            [poses2, np.zeros((P, N, 1))], axis=-1
+        ).astype(np.float32)
+        yaws = rng.uniform(0, 2 * np.pi, size=(P, N))
+        quats = np.zeros((P, N, 4), np.float32)
+        quats[..., 2] = np.sin(yaws / 2)
+        quats[..., 3] = np.cos(yaws / 2)
+        n_poses = np.full((P,), N, np.int32)
+
+        ext = pos3[..., :2].max(axis=1) - pos3[..., :2].min(axis=1)
+        gw = fp_ops.path_group_window(fp, ext, m.resolution, False)
+        gw_x = fp_ops.path_group_window_exact(fp, pos3, quats, m.resolution)
+        assert gw_x[0] <= gw[0] and gw_x[1] <= gw[1], (gw_x, gw)
+
+        def run(window, conservative=False):
+            return fp_ops.check_polygonal_paths_grouped(
+                state, jnp.asarray(pos3), jnp.asarray(quats),
+                jnp.asarray(n_poses), jnp.asarray(fp), window,
+                conservative, False,
+            )
+
+        for conservative in (False, True):
+            a = run(gw, conservative)
+            b = run(gw_x, conservative)
+            np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+            # score sums accumulate over a different window shape: last-ulp
+            np.testing.assert_allclose(
+                np.asarray(a[1]), np.asarray(b[1]), atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+        base = run(gw_x)
+        for mode in ("transpose", "rowgather"):
+            monkeypatch.setattr(fp_ops, "_WINDOW_FETCH_MODE", mode)
+            got = run(gw_x)
+            for i in range(3):
+                np.testing.assert_array_equal(
+                    np.asarray(base[i]), np.asarray(got[i]), err_msg=mode
+                )

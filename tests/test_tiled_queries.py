@@ -277,3 +277,47 @@ def test_tiled_paths_sharded_raster_matches_local(setup):
     )
     np.testing.assert_array_equal(np.asarray(safe_t), np.asarray(safe_r))
     np.testing.assert_array_equal(np.asarray(trav_t), np.asarray(trav_r))
+
+
+def test_tiled_paths_path_reduce_matches_local(setup, monkeypatch):
+    """Round-5 per-PATH partial psum (body_paths): above the sample
+    threshold the tiled query reduces samples -> paths before the psum
+    (O(P) bytes on the wire instead of O(P*N*S)). Verdicts must be exact;
+    traversability may differ from the local evaluator only by summation
+    re-association (owner-grouped order) — a few ulps."""
+    mesh, layers, state, (H, W) = setup
+    rng = np.random.default_rng(29)
+    P, N = 512, 9
+    max_cells = 128
+    # force the new mode regardless of the shipped threshold
+    monkeypatch.setattr(sh, "_PATH_REDUCE_SAMPLES", 1)
+    extent_x, extent_y = H * RES / 2, W * RES / 2
+    starts = np.stack(
+        [rng.uniform(-1.3 * extent_x, 1.3 * extent_x, P),
+         rng.uniform(-1.3 * extent_y, 1.3 * extent_y, P)],
+        -1,
+    )  # 1.3x: some paths wander off-map to exercise the default verdict
+    steps = rng.uniform(-0.15, 0.15, (P, N - 1, 2))
+    poses = np.concatenate(
+        [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+    ).astype(np.float32)
+    n_poses = rng.integers(2, N + 1, P).astype(np.int32)
+
+    field = sh.sharded_circle_field(layers, mesh, RADIUS + OFFSET, RADIUS, RES, 0.5)
+    safe_t, trav_t = sh.check_circular_paths_tiled(
+        field[0], field[1], poses, n_poses, mesh, (0.0, 0.0), RES, max_cells
+    )
+    field_ref = fp_ops.dense_circle_field(state, RADIUS + OFFSET, RADIUS)
+    safe_r, trav_r = fp_ops.check_circular_paths(
+        state, poses, n_poses, RADIUS, OFFSET, max_cells, field_ref, False
+    )
+    np.testing.assert_array_equal(np.asarray(safe_t), np.asarray(safe_r))
+    np.testing.assert_allclose(
+        np.asarray(trav_t), np.asarray(trav_r), rtol=0, atol=3e-6
+    )
+    # a few single-pose paths through the same mode (cell-center rule)
+    n1 = np.ones((P,), np.int32)
+    safe_1, trav_1 = sh.check_circular_paths_tiled(
+        field[0], field[1], poses, n1, mesh, (0.0, 0.0), RES, max_cells
+    )
+    assert np.asarray(safe_1).shape == (P,)
