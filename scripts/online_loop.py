@@ -263,6 +263,26 @@ def main(argv=None):
     print(f"warmup: {args.warmup_ticks} ticks, {warmup_s:.1f}s "
           "(compiles excluded from the measured window)", file=sys.stderr)
 
+    # Per-tick ARG-UPLOAD probe (round 5): with the verdict fetch reduced to
+    # 256 B / 0.03-0.04 ms, the free-run ceiling on this rig is the per-tick
+    # host->device argument upload (patch + poses ~90 KB through the
+    # tunnel), not the device. Measure it so the "transport floor" claim in
+    # the artifact carries its own number: median blocking upload of one
+    # tick's args.
+    import jax as _jax
+
+    probe_patch, _ = src.sample((0.0, 0.0), (4.0, 4.0))
+    probe_poses = np.zeros((args.paths, 10, 2), np.float32)
+    upload_bytes = probe_patch.nbytes + probe_poses.nbytes
+    ups = []
+    for _ in range(7):
+        t0u = time.time()
+        a = _jax.device_put(probe_patch)
+        b = _jax.device_put(probe_poses)
+        _jax.block_until_ready((a, b))
+        ups.append(time.time() - t0u)
+    upload_probe_ms = sorted(ups)[len(ups) // 2] * 1e3
+
     t_start = time.time()
     t_end = t_start + args.seconds
     while time.time() < t_end:
@@ -304,6 +324,10 @@ def main(argv=None):
             "dispatch_only": bool(args.dispatch_only),
             "drain_s": round(drain_s, 3),  # inside measured_s: a
             # dispatch-only ceiling must pay for every queued program
+            "upload_bytes_per_tick": int(upload_bytes),
+            "upload_probe_ms": round(upload_probe_ms, 2),  # median blocking
+            # host->device copy of one tick's args — the free-run floor on
+            # a tunneled rig
             "query": "polygonal" if footprint_poly is not None else "circular",
             "mode": "roaming_window" if roaming else "persistent_map",
             "map_cells": [n, n],

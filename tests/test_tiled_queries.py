@@ -321,3 +321,56 @@ def test_tiled_paths_path_reduce_matches_local(setup, monkeypatch):
         field[0], field[1], poses, n1, mesh, (0.0, 0.0), RES, max_cells
     )
     assert np.asarray(safe_1).shape == (P,)
+
+
+def test_tiled_polygonal_row_reduce_matches_local(setup, monkeypatch):
+    """Polygonal analog of the per-path partial psum: above the threshold
+    the span scorer sums rows -> polygons before the psum. Verdicts and
+    cell counts are exact (packed int rows sum exactly in any order);
+    traversability allclose (f32 score sum reorders device-grouped)."""
+    mesh, layers, state, (H, W) = setup
+    rng = np.random.default_rng(31)
+    fp = np.array(
+        [[0.1, 0.06], [0.1, -0.06], [-0.1, -0.06], [-0.1, 0.06]], np.float32
+    )
+    P, N = 48, 5
+    starts = np.stack(
+        [rng.uniform(-0.8, 0.8, P), rng.uniform(-0.8, 0.8, P)], -1
+    )
+    steps = rng.uniform(-0.1, 0.1, (P, N - 1, 2))
+    poses2 = np.concatenate(
+        [starts[:, None], starts[:, None] + np.cumsum(steps, 1)], 1
+    )
+    pos3 = np.concatenate([poses2, np.zeros((P, N, 1))], -1).astype(np.float32)
+    yaws = rng.uniform(0, 2 * np.pi, (P, N))
+    quats = np.zeros((P, N, 4), np.float32)
+    quats[..., 2] = np.sin(yaws / 2)
+    quats[..., 3] = np.cos(yaws / 2)
+    n_poses = rng.integers(1, N + 1, P).astype(np.int32)
+
+    window = fp_ops.polygon_window_cells(fp, 0.35, RES, False, False)
+    fp_t = tuple(map(tuple, fp.tolist()))
+    args = (
+        jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+    )
+    base = sh.check_polygonal_paths_tiled(
+        layers, *args, fp_t, mesh, window, False, (0.0, 0.0), RES, 0.5, (H, W)
+    )
+    monkeypatch.setattr(sh, "_PATH_REDUCE_SAMPLES", 1)
+    got = sh.check_polygonal_paths_tiled.__wrapped__(
+        layers, *args, fp_t, mesh, window, False, (0.0, 0.0), RES, 0.5, (H, W)
+    )
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(got[0]))
+    np.testing.assert_allclose(
+        np.asarray(base[1]), np.asarray(got[1]), rtol=0, atol=3e-6
+    )
+    np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(got[2]))
+    # referee: local per-segment evaluator
+    ref = fp_ops.check_polygonal_paths(
+        state, jnp.asarray(pos3), jnp.asarray(quats), jnp.asarray(n_poses),
+        jnp.asarray(fp), window, False, False,
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), atol=3e-6
+    )

@@ -635,13 +635,29 @@ def check_polygonal_paths_tiled(
             t1 = jnp.take(tv_p.reshape(-1), lin1)
             dc = jnp.where(mine, c1 - c0, 0)
             dtv = jnp.where(mine, t1 - t0, 0.0)
-            dc = jax.lax.psum(dc, ("x", "y"))
-            dtv = jax.lax.psum(dtv, ("x", "y"))
-            fail_cnt = dc // 65536
-            pass_cnt = dc - fail_cnt * 65536
-            fail = jnp.sum(fail_cnt, axis=-1) > 0
-            n_cells = jnp.sum(pass_cnt, axis=-1)
-            mean = jnp.sum(dtv, axis=-1) / jnp.maximum(n_cells, 1)
+            if B * wi >= _PATH_REDUCE_SAMPLES and wi * wj < 32768:
+                # large batches: reduce rows -> polygons BEFORE the psum so
+                # it moves (B,) buffers instead of (B, wi) — the circular
+                # query's round-5 per-path partial trick. The packed int32
+                # row counts sum exactly in any order (the wi*wj < 32768
+                # guard keeps fail*65536 + pass within int32 per polygon);
+                # the f32 score sum reorders device-grouped (allclose, not
+                # bit-equal — small batches keep the bit-exact row psum).
+                dc = jax.lax.psum(jnp.sum(dc, axis=-1), ("x", "y"))
+                dtv = jax.lax.psum(jnp.sum(dtv, axis=-1), ("x", "y"))
+                fail_cnt = dc // 65536
+                pass_cnt = dc - fail_cnt * 65536
+                fail = fail_cnt > 0
+                n_cells = pass_cnt
+                mean = dtv / jnp.maximum(n_cells, 1)
+            else:
+                dc = jax.lax.psum(dc, ("x", "y"))
+                dtv = jax.lax.psum(dtv, ("x", "y"))
+                fail_cnt = dc // 65536
+                pass_cnt = dc - fail_cnt * 65536
+                fail = jnp.sum(fail_cnt, axis=-1) > 0
+                n_cells = jnp.sum(pass_cnt, axis=-1)
+                mean = jnp.sum(dtv, axis=-1) / jnp.maximum(n_cells, 1)
             empty = (n_cells == 0) & ~fail
             ok = ~fail & jnp.where(empty, default != 0.0, True)
             trav = jnp.where(fail, 0.0, jnp.where(empty, default, mean))
