@@ -247,6 +247,15 @@ def main(argv=None):
          "--local-devices", "4", "--tile", "128", "--k1", "2", "--k2", "6"],
         None,
     )
+    # compute-dominated variant (VERDICT r4 missing #2): 1024^2 tiles so
+    # compute >> collectives; the summary's total_throughput_retention is
+    # the meaningful one-socket proxy (committed standalone copy:
+    # DCN_PROXY.json)
+    results += run_cpu_subprocess(
+        [py, "scripts/scaling_bench.py", "--processes", "2",
+         "--local-devices", "4", "--tile", "512", "--k1", "2", "--k2", "6"],
+        None,
+    )
     # tiled-query cost decomposition across mesh sizes (VERDICT r3 #2c):
     # separates replicated-raster growth from collective-infrastructure
     # growth — the attribution behind the scaling_tiled_query rows' note
