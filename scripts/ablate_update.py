@@ -36,7 +36,14 @@ E10 pallas tile sweep    the fused Pallas chain at (128,128)/(192,256)/
                          still 2.5x slower — XLA stays production).
 E11 walk combine         per-(offset, direction) bool shifts vs sector-
                          grouped OR planes (verdict: sectors 14% faster,
-                         exact — promoted).
+                         exact — promoted). NOTE since round 5 the
+                         "production" variant here is the sentinel-folded
+                         walk (E12), so E11 doubles as a v1-sector vs v2
+                         cross-check.
+E12 walk formulation     round-4 bool-plane walk (v1, kept as
+                         step_veto_ok_v1) vs the round-5 sentinel fold
+                         (~104 shifted planes vs ~236; verdict: 1.45x
+                         faster, cell-exact — promoted to production).
 
 Timing: two-point chained-scan slope everywhere (docs/DESIGN.md §5).
 Output: one JSON line per experiment row; run via scripts/chip_session.py

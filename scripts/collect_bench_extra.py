@@ -124,7 +124,18 @@ def main(argv=None):
     ap.add_argument("--gate", action="store_true",
                     help="exit 3 when a scenario regresses >1.5x vs the "
                     "committed artifact (the ci.sh --nightly mode)")
+    ap.add_argument("--regate", metavar="BASELINE_JSON",
+                    help="no measurement: re-evaluate --out's entries "
+                    "against BASELINE_JSON with the CURRENT gate code and "
+                    "rewrite --out's regression_check entry. For auditing "
+                    "a committed artifact after a gate-metric fix (e.g. "
+                    "the r5 transport-independent rollouts metric) — the "
+                    "rows themselves are never touched")
     args = ap.parse_args(argv)
+
+    if args.regate:
+        regs = regate(args.out, args.regate)
+        sys.exit(3 if (regs and args.gate) else 0)
 
     tmp = tempfile.mktemp(suffix=".json")
     py = sys.executable
@@ -270,6 +281,32 @@ def main(argv=None):
     # numbers (achieved Hz, rollout budget, scaling rows) could regress
     # silently. Two tiers, like bench.py: >1.25x drift warns, >1.5x fails
     # (cross-session chip variance up to ~1.4x on unchanged binaries).
+    regressions, drift = gate_entries(results, args.out)
+    if regressions:
+        log(f"SCENARIO REGRESSION vs committed {args.out}: {regressions}")
+    if drift:
+        log(f"scenario drift (within variance band): {drift}")
+    results.append({
+        "kind": "regression_check",
+        "regressions": regressions,
+        "drift": drift,
+    })
+
+    blob = {
+        "schema": "BENCH_extra v2",
+        "collected_unix": int(time.time()),
+        "entries": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(blob, f, indent=1)
+    print(f"wrote {args.out} ({len(results)} entries)", file=sys.stderr)
+    if regressions and args.gate:
+        sys.exit(3)
+
+
+def gate_entries(results, baseline_path):
+    """Two-tier scenario gate: compare `results` rows against the entries
+    of the artifact at `baseline_path`; returns (regressions, drift)."""
     def _key(e):
         k = e.get("kind")
         if k == "online_loop":
@@ -326,7 +363,7 @@ def main(argv=None):
 
     regressions, drift = [], []
     try:
-        with open(args.out) as f:
+        with open(baseline_path) as f:
             prev_entries = json.load(f).get("entries", [])
         prev_by_key = {}
         for e in prev_entries:
@@ -351,26 +388,29 @@ def main(argv=None):
                 drift.append(row)
     except (OSError, json.JSONDecodeError):
         log("no committed artifact to gate against (first run)")
-    if regressions:
-        log(f"SCENARIO REGRESSION vs committed {args.out}: {regressions}")
-    if drift:
-        log(f"scenario drift (within variance band): {drift}")
-    results.append({
+    return regressions, drift
+
+
+def regate(out_path, baseline_path):
+    """Re-evaluate out_path's rows against baseline_path with the CURRENT
+    gate code and rewrite ONLY its regression_check entry (rows untouched).
+    For auditing a committed artifact after a gate-metric fix."""
+    with open(out_path) as f:
+        blob = json.load(f)
+    entries = [e for e in blob["entries"] if e.get("kind") != "regression_check"]
+    regressions, drift = gate_entries(entries, baseline_path)
+    entries.append({
         "kind": "regression_check",
         "regressions": regressions,
         "drift": drift,
+        "regated_against": os.path.basename(baseline_path),
     })
-
-    blob = {
-        "schema": "BENCH_extra v2",
-        "collected_unix": int(time.time()),
-        "entries": results,
-    }
-    with open(args.out, "w") as f:
+    blob["entries"] = entries
+    with open(out_path, "w") as f:
         json.dump(blob, f, indent=1)
-    print(f"wrote {args.out} ({len(results)} entries)", file=sys.stderr)
-    if regressions and args.gate:
-        sys.exit(3)
+    log(f"regated {out_path} vs {baseline_path}: "
+        f"{len(regressions)} regressions, {len(drift)} drift")
+    return regressions
 
 
 if __name__ == "__main__":
