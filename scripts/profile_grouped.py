@@ -156,6 +156,40 @@ def main(argv=None):
                slope(grouped_loop(qid_dev, win_id, True), pos3))
     fp_ops._WINDOW_FETCH_MODE = "fused"
 
+    # B5/B6 + A4: WINDOW BUCKETING (round 5) — the single static window
+    # prices every path at the batch worst case; per-path requirements are
+    # a random-walk distribution (2 buckets = ~0.74x total window area on
+    # this batch, 3 = ~0.68x). Both buckets run inside ONE program.
+    def bucketed_loop(quats_np, quats_dev, n_buckets, translate_only):
+        plan = fp_ops.plan_window_buckets(
+            footprint, np.concatenate(
+                [poses, np.zeros((P, N, 1), np.float32)], -1
+            ), quats_np, res, n_buckets,
+        )
+        log(f"bucket windows (n={n_buckets}, "
+            f"{'id' if translate_only else 'rot'}): {plan[1]}")
+
+        def make(k):
+            @jax.jit
+            def loop(p):
+                def body(c, _):
+                    s, t, a = fp_ops.check_polygonal_paths_bucketed(
+                        state, c, quats_dev, n_poses, footprint, plan,
+                        False, translate_only,
+                    )
+                    return c + 1e-9 * t[:, None, None] * jnp.ones((1, 1, 3)), None
+                c, _ = jax.lax.scan(body, p, None, length=k)
+                return c[0, 0, 0]
+            return loop
+        return make
+
+    report("B5 rotated, 2 window buckets",
+           slope(bucketed_loop(qrot, qrot_dev, 2, False), pos3))
+    report("B6 rotated, 3 window buckets",
+           slope(bucketed_loop(qrot, qrot_dev, 3, False), pos3))
+    report("A4 identity translate_only, 2 window buckets",
+           slope(bucketed_loop(qid, qid_dev, 2, True), pos3))
+
     # H: rotated with per-(path, segment-block) windows — the candidate fix:
     # block hulls span ~8 segments, so the span evaluator's window area (its
     # cost driver) shrinks ~3x; trades one window fetch per path for one per

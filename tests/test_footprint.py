@@ -512,3 +512,27 @@ class TestGroupedPaths:
                 np.testing.assert_array_equal(
                     np.asarray(base[i]), np.asarray(got[i]), err_msg=mode
                 )
+        monkeypatch.setattr(fp_ops, "_WINDOW_FETCH_MODE", "fused")
+
+        # window bucketing (round 5): per-bucket static windows, all inside
+        # one program — verdict/area identical, trav within re-accumulation
+        for n_buckets in (2, 3):
+            for conservative in (False, True):
+                plan = fp_ops.plan_window_buckets(
+                    fp, pos3, quats, m.resolution, n_buckets
+                )
+                got = fp_ops.check_polygonal_paths_bucketed(
+                    state, jnp.asarray(pos3), jnp.asarray(quats),
+                    jnp.asarray(n_poses), jnp.asarray(fp), plan,
+                    conservative, False,
+                )
+                ref = run(gw, conservative)
+                np.testing.assert_array_equal(
+                    np.asarray(ref[0]), np.asarray(got[0])
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ref[1]), np.asarray(got[1]), atol=1e-6
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(ref[2]), np.asarray(got[2])
+                )

@@ -958,6 +958,142 @@ def path_group_window(
     return (cells(ex + r), cells(ey + r))
 
 
+def per_path_window_cells(
+    footprint: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    resolution: float,
+) -> np.ndarray:
+    """Per-PATH raster-window requirement (P, 2) int cells — the exact
+    bbox math of :func:`path_group_window_exact` before its max over the
+    batch. Basis for window bucketing (check_polygonal_paths_bucketed)."""
+    fp = np.asarray(footprint, np.float64)
+    pos = np.asarray(positions, np.float64)[..., :2]
+    q = np.asarray(quaternions, np.float64)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    n = x * x + y * y + z * z + w * w
+    s = np.where(n > 0.0, 2.0 / np.where(n > 0.0, n, 1.0), 0.0)
+    r00 = 1 - s * (y * y + z * z)
+    r01 = s * (x * y - z * w)
+    r10 = s * (x * y + z * w)
+    r11 = 1 - s * (x * x + z * z)
+    vx = r00[..., None] * fp[:, 0] + r01[..., None] * fp[:, 1]
+    vy = r10[..., None] * fp[:, 0] + r11[..., None] * fp[:, 1]
+    lo_x, hi_x = vx.min(axis=-1), vx.max(axis=-1)
+    lo_y, hi_y = vy.min(axis=-1), vy.max(axis=-1)
+
+    def adj(a, red):
+        out = a.copy()
+        out[:, :-1] = red(out[:, :-1], a[:, 1:])
+        out[:, 1:] = red(out[:, 1:], a[:, :-1])
+        return out
+
+    hi_x, hi_y = adj(hi_x, np.maximum), adj(hi_y, np.maximum)
+    lo_x, lo_y = adj(lo_x, np.minimum), adj(lo_y, np.minimum)
+    vert_hi_x = (pos[..., 0] + hi_x).max(axis=1)
+    vert_lo_x = (pos[..., 0] + lo_x).min(axis=1)
+    vert_hi_y = (pos[..., 1] + hi_y).max(axis=1)
+    vert_lo_y = (pos[..., 1] + lo_y).min(axis=1)
+    anchor = 0.5 * (pos.max(axis=1) + pos.min(axis=1))
+    reach_x = np.maximum(vert_hi_x - anchor[:, 0], anchor[:, 0] - vert_lo_x)
+    reach_y = np.maximum(vert_hi_y - anchor[:, 1], anchor[:, 1] - vert_lo_y)
+
+    def cells(reach):
+        c = 2 * np.ceil(reach / resolution).astype(np.int64) + 3
+        return ((c + 3) // 4) * 4
+
+    return np.stack([cells(reach_x), cells(reach_y)], axis=-1)
+
+
+def plan_window_buckets(
+    footprint: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    resolution: float,
+    n_buckets: int = 2,
+):
+    """Host-side WINDOW-BUCKETING plan for a polygonal batch: partition
+    paths by their own raster-window requirement (per_path_window_cells)
+    into `n_buckets` area-sorted groups, each with the smallest static
+    window covering its members.
+
+    Why: the span evaluator's work AND the per-path window fetch both
+    scale with window area, but a single static window prices every path
+    at the batch WORST case — in a planner batch the per-path extents are
+    a random-walk distribution whose tail sets the max, so most paths pay
+    for ~2x the area they need. Two buckets split at the area median
+    recover most of that.
+
+    Returns (idx_groups, windows, inverse): static index arrays, the
+    per-group (wi, wj), and the permutation restoring original order for
+    jnp.concatenate over group results. Feed to
+    check_polygonal_paths_bucketed — fully traceable, both groups inside
+    one compiled program."""
+    pos_np = np.asarray(positions, np.float32)
+    quat_np = np.asarray(quaternions, np.float32)
+    P = pos_np.shape[0]
+    win_pp = per_path_window_cells(footprint, pos_np, quat_np, resolution)
+    areas = win_pp[:, 0] * win_pp[:, 1]
+    order = np.argsort(areas, kind="stable")
+    idx_groups, windows = [], []
+    lo = 0
+    for b in range(n_buckets):
+        hi = (P * (b + 1)) // n_buckets
+        idx = order[lo:hi]
+        lo = hi
+        if idx.size == 0:
+            continue
+        idx_groups.append(idx)
+        windows.append(
+            (int(win_pp[idx, 0].max()), int(win_pp[idx, 1].max()))
+        )
+    inverse = np.argsort(np.concatenate(idx_groups), kind="stable")
+    return tuple(map(tuple, (g.tolist() for g in idx_groups))), tuple(
+        windows
+    ), tuple(inverse.tolist())
+
+
+def check_polygonal_paths_bucketed(
+    state: QueryState,
+    positions: Array,
+    quaternions: Array,
+    n_poses: Array,
+    footprint: Array,
+    plan,
+    conservative: bool = False,
+    translate_only: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Grouped polygonal evaluation under a plan_window_buckets plan: one
+    grouped sub-evaluation per bucket with that bucket's static window,
+    all inside a single traced program (static gather/scatter indices).
+
+    Per-path results are independent, so bucketing is semantics-free:
+    verdicts/areas identical to the single-window call; traversability
+    sums accumulate over a different window shape (last-ulp — the same
+    tolerance as the exact-window tests)."""
+    idx_groups, windows, inverse = plan
+    outs = []
+    for idx, gw in zip(idx_groups, windows):
+        ii = jnp.asarray(np.asarray(idx, np.int32))
+        outs.append(
+            check_polygonal_paths_grouped(
+                state,
+                positions[ii],
+                quaternions[ii],
+                n_poses[ii],
+                footprint,
+                gw,
+                conservative,
+                translate_only,
+            )
+        )
+    inv = jnp.asarray(np.asarray(inverse, np.int32))
+    safe = jnp.concatenate([o[0] for o in outs])[inv]
+    trav = jnp.concatenate([o[1] for o in outs])[inv]
+    area = jnp.concatenate([o[2] for o in outs])[inv]
+    return safe, trav, area
+
+
 def path_group_window_exact(
     footprint: np.ndarray,
     positions: np.ndarray,
