@@ -225,7 +225,13 @@ def update_op_estimate(chain_cfg, veto_cfg) -> Dict[str, float]:
     Stage counts are cross-checked against isolated-stage slope timings on
     the chip (calibrate_sol, elementwise plane-carry consumption — a nansum
     consumption breaks stage fusion and inflated the round-3 rows, e.g.
-    step read 10.3% then, ~100% measured honestly).
+    step read 10.3% then, ~100% measured honestly). Stages whose isolated
+    reading exceeds 100% of their bound are flagged ``model_inflated`` in
+    CALIB_last (the hand count over-estimates what XLA actually issues
+    there); the aggregate check is the TOTAL row — the isolated stage SUM
+    measures within ~5% of the summed model across sessions, so the
+    stage-additive bound that the fused pct_sol is quoted against is
+    calibrated in aggregate even where individual stage counts drift ±20%.
     """
     res = chain_cfg.resolution
 
