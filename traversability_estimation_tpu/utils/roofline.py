@@ -127,7 +127,9 @@ def measure_vpu_bool_ops(k1: int = 16, k2: int = 64) -> float:
     return operands[0].size * total_ops * (k2 - k1) / max(t2 - t1, 1e-9)
 
 
-def measure_peaks(k1: int = 16, k2: int = 64) -> Dict[str, float]:
+def measure_peaks(
+    k1: int = 16, k2: int = 64, repeats: int = 3
+) -> Dict[str, float]:
     """THE peaks block — one measurement feeding every SoL artifact.
 
     VERDICT r3 weak #2: BENCH_r03 and CALIB_last carried peak numbers that
@@ -142,13 +144,20 @@ def measure_peaks(k1: int = 16, k2: int = 64) -> Dict[str, float]:
     - ``vpu_f32_ops_per_s``:   FLOP/s / 2 — the per-lane ISSUE rate; every
       f32 arithmetic/compare/select/int-add op in the analytic counts is
       priced at this rate (one op = one issue slot, FMA or not).
-    - ``bool_ops_per_s``: i1 mask-op issue rate (xor/and/or chain), ~1.6-1.9x
+    - ``bool_ops_per_s``: i1 mask-op issue rate (xor/and/or chain), ~1.5-1.9x
       the f32 issue rate on v5e.
     - ``hbm_bytes_per_s``: read+write streaming bandwidth (multiply chain).
+
+    Each probe runs ``repeats`` times and the MAX is kept (round 5): a peak
+    is a CAPABILITY, so the right estimator is the best observed rate —
+    single-shot probes read the i1 rate anywhere in 3.2-4.1 Tops/s across
+    sessions (schedule + session luck), which made the SoL bound itself
+    session-soft; max-of-3 converges to the hard bound.
     """
-    flops = measure_vpu_f32_flops(k1, k2)
-    bools = measure_vpu_bool_ops(k1, k2)
-    hbm = measure_hbm_bw()
+    reps = repeats
+    flops = max(measure_vpu_f32_flops(k1, k2) for _ in range(reps))
+    bools = max(measure_vpu_bool_ops(k1, k2) for _ in range(reps))
+    hbm = max(measure_hbm_bw() for _ in range(reps))
     return {
         "vpu_f32_flops_per_s": flops,
         "vpu_f32_ops_per_s": flops / 2.0,
@@ -157,7 +166,8 @@ def measure_peaks(k1: int = 16, k2: int = 64) -> Dict[str, float]:
         "hbm_bytes_per_s": hbm,
         "convention": (
             "FMA chain; ops = FLOPs/2 = issue rate (all f32 bounds price "
-            "per-op at this); bool = i1 xor/and/or chain"
+            "per-op at this); bool = i1 xor/and/or chain; each peak = max "
+            f"of {reps} probe repeats (a capability, not a sample)"
         ),
     }
 
