@@ -180,10 +180,25 @@ def main():
     # ~3 ms — same order as the jitter, which is exactly how the r01/r02
     # dense-layer numbers "drifted" 0.19→0.52 ms between rounds.
     # Escalate K until the difference dominates the jitter (≥10 ms).
-    from traversability_estimation_tpu.utils.profiling import adaptive_slope
+    from traversability_estimation_tpu.utils.profiling import adaptive_slope_stats
 
-    def slope_time(make_loop, arg, k1, k2, reps=3):
-        return adaptive_slope(make_loop, arg, k1, k2, 10e-3, reps, log=log)
+    # every kernel row carries {med, lo, hi, n} from paired repeats (same
+    # convention as ABLATE/scaling rows since round 5) so a single-session
+    # BENCH_last is distinguishable from its own jitter
+    _spreads = {}
+
+    def slope_time(make_loop, arg, k1, k2, reps=5, name=None):
+        s = adaptive_slope_stats(
+            make_loop, arg, k1, k2, 10e-3, reps, log=log
+        )
+        if name:
+            _spreads[name] = {
+                "med_ms": round(s["median_s"] * 1e3, 4),
+                "lo_ms": round(s["lo_s"] * 1e3, 4),
+                "hi_ms": round(s["hi_s"] * 1e3, 4),
+                "n": s["n"],
+            }
+        return s["slope_s"]
 
     elev_dev = jnp.asarray(elev)
     ccfg, vcfg = est.config.chain, est.config.veto
@@ -222,7 +237,7 @@ def main():
             return eK[0, 0]
         return loop
 
-    t_update = slope_time(make_update_loop, elev_dev, 16, 64)
+    t_update = slope_time(make_update_loop, elev_dev, 16, 64, name='update')
     log(f"map update true: {t_update*1e3:.2f} ms -> {H*W/t_update/1e6:.1f} Mcells/s")
 
     # --- speed-of-light accounting (utils/roofline.py): measured chip peaks
@@ -301,7 +316,7 @@ def main():
             return c[0, 0]
         return loop
 
-    t_dense = slope_time(make_dense_loop, jnp.zeros((H, W), jnp.float32), 8, 24)
+    t_dense = slope_time(make_dense_loop, jnp.zeros((H, W), jnp.float32), 8, 24, name='dense_footprint_layer')
     log(
         f"dense footprint layer (config 2): {t_dense*1e3:.2f} ms for {H*W:,} "
         f"cell-placements -> {H*W/t_dense/1e6:.1f} M placements/s"
@@ -368,7 +383,7 @@ def main():
             return pK[0, 0, 0]
         return loop
 
-    dt_poly = slope_time(make_poly_loop, pos3, 4, 12)
+    dt_poly = slope_time(make_poly_loop, pos3, 4, 12, name='poly_identity')
     log(
         f"polygonal batch true: {dt_poly*1e3:.2f} ms for {P} paths x {N} poses "
         f"(swept-hull rectangle) -> {P*N/dt_poly/1e6:.2f} M pose-checks/s"
@@ -403,7 +418,7 @@ def main():
             return pK[0, 0, 0]
         return loop
 
-    dt_poly_rot = slope_time(make_poly_rot_loop, pos3, 4, 12)
+    dt_poly_rot = slope_time(make_poly_rot_loop, pos3, 4, 12, name='poly_rotated')
     log(
         f"polygonal batch rotated: {dt_poly_rot*1e3:.2f} ms for {P} paths x "
         f"{N} poses (random per-pose yaw, window {gwindow_rot}) -> "
@@ -446,7 +461,7 @@ def main():
             f"{P*N/dt_poly_rot/base_poly:,.0f}x"
         )
 
-    dt = slope_time(make_query_loop, poses_dev, 8, 32)
+    dt = slope_time(make_query_loop, poses_dev, 8, 32, name='circular_batch')
     checks = P * N
     checks_per_sec = checks / dt
     log(
@@ -474,7 +489,7 @@ def main():
             return c[0, 0]
         return loop
 
-    t_field = slope_time(make_field_loop, jnp.zeros((H, W), jnp.float32), 8, 24)
+    t_field = slope_time(make_field_loop, jnp.zeros((H, W), jnp.float32), 8, 24, name='circle_field')
     fld_counts = roofline.circle_field_op_estimate(radius + offset, res)
     # the binding floor for the exact-spiral-order field is the per-offset
     # unaligned-shift relayout, not arithmetic (docs/DESIGN.md §7): measure
@@ -541,6 +556,7 @@ def main():
         "shift_cost_us": round(shift_cost * 1e6, 3),
         "pct_sol_circle_field": round(fld_sol["pct_sol"], 1),
         "transport_rtt_ms": round(TUNNEL_RTT * 1e3, 2),
+        "kernel_spreads": _spreads,
         # the SAME peaks block calibrate_sol embeds (roofline.measure_peaks)
         "peaks": {
             k: (round(v, 4) if isinstance(v, float) else v)
